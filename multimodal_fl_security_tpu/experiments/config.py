@@ -1,0 +1,149 @@
+"""Experiment configuration and results dataclasses.
+
+Field-parity with the reference's ExperimentConfig/ExperimentResults
+(reference: experiments/run_experiments.py:32-80), with deliberate fixes
+documented in SURVEY.md §2.9:
+  - ``alpha`` is actually plumbed into the Dirichlet partitioner (§2.9-1);
+  - ``partition_seed`` is explicit (the reference hardcodes 42, §2.9-5);
+  - model-poisoning attacks fire in simulation (§2.9-2);
+  - extra fields for TPU execution (mesh axes, dtype) and multimodality.
+
+``ExperimentResults.to_dict`` emits the same JSON schema as the reference's
+result artifacts (experiments/quick_results/*.json), so the reference's
+analysis/visualization scripts can read our output unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class ExperimentConfig:
+    name: str = "experiment"
+    dataset: str = "synthetic"
+    model: Optional[str] = None  # None = dataset default
+    num_clients: int = 5
+    num_rounds: int = 5
+    local_epochs: int = 2
+    batch_size: int = 32
+    learning_rate: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    clip_norm: float = 1.0  # reference clips grads at 1.0 (run_experiments.py:231)
+    partition: str = "iid"
+    alpha: float = 0.5
+    partition_seed: int = 42
+    seed: int = 42
+
+    # attack block (reference: run_experiments.py:45-52)
+    attack_enabled: bool = False
+    attack_type: str = "none"
+    malicious_clients: List[int] = field(default_factory=list)
+    poison_ratio: float = 0.1
+    source_class: int = 7
+    target_class: int = 0
+    trigger_size: int = 3
+    attack_params: Dict[str, Any] = field(default_factory=dict)
+
+    # defense block (reference: run_experiments.py:54-58)
+    defense_enabled: bool = False
+    defense_type: str = "none"
+    num_malicious_assumed: int = 1
+    trim_ratio: float = 0.1
+    defense_params: Dict[str, Any] = field(default_factory=dict)
+
+    # execution
+    eval_batch_size: int = 500
+    data_dir: Optional[str] = None
+    dataset_params: Dict[str, Any] = field(default_factory=dict)
+    use_mesh: bool = False
+    mesh_devices: Optional[int] = None
+    checkpoint_every: int = 10
+    checkpoint_dir: Optional[str] = None
+
+    def default_model(self) -> str:
+        table = {
+            "mnist": "simple_cnn",
+            "synthetic": "simple_cnn",
+            "synthetic_mnist": "simple_cnn",
+            "cifar10": "cifar_cnn",
+            "synthetic_cifar": "cifar_cnn",
+            "cub200": "resnet50_multimodal",
+            "synthetic_multimodal": "multimodal_cnn",
+            "synthetic_avmnist": "avmnist_fusion",
+            "avmnist": "avmnist_fusion",
+        }
+        return self.model or table.get(self.dataset, "simple_cnn")
+
+    def attack_config(self) -> Dict[str, Any]:
+        """Merged attack hyperparameters (mirrors run_experiments.py:143-152)."""
+        cfg = {
+            "poison_ratio": self.poison_ratio,
+            "source_class": self.source_class,
+            "target_class": self.target_class,
+            "trigger_size": self.trigger_size,
+            "num_malicious": max(len(self.malicious_clients), 1),
+            "seed": self.seed,
+        }
+        cfg.update(self.attack_params)
+        return cfg
+
+    def defense_config(self) -> Dict[str, Any]:
+        """Merged defense hyperparameters (mirrors run_experiments.py:155-163)."""
+        cfg = {
+            "num_malicious": self.num_malicious_assumed,
+            "trim_ratio": self.trim_ratio,
+            "multi_k": max(self.num_clients // 2, 1),
+            "learning_rate": self.learning_rate,
+        }
+        cfg.update(self.defense_params)
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclass
+class ExperimentResults:
+    """Result record; JSON layout matches the reference artifacts
+    (reference: experiments/run_experiments.py:63-80, 293-312)."""
+
+    config: ExperimentConfig
+    round_accuracies: List[float] = field(default_factory=list)
+    round_losses: List[float] = field(default_factory=list)
+    final_accuracy: float = 0.0
+    final_loss: float = 0.0
+    attack_success_rate: Optional[float] = None
+    training_time_seconds: float = 0.0
+    timestamp: str = ""
+    extra_metrics: Dict[str, Any] = field(default_factory=dict)
+
+    def to_dict(self) -> Dict[str, Any]:
+        out = {
+            "config": self.config.to_dict(),
+            "round_accuracies": self.round_accuracies,
+            "round_losses": self.round_losses,
+            "final_accuracy": self.final_accuracy,
+            "final_loss": self.final_loss,
+            "attack_success_rate": self.attack_success_rate,
+            "training_time_seconds": self.training_time_seconds,
+            "timestamp": self.timestamp,
+        }
+        if self.extra_metrics:
+            out["extra_metrics"] = self.extra_metrics
+        return out
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2, default=_json_default)
+
+
+def _json_default(obj):
+    try:
+        return float(obj)
+    except Exception:
+        return str(obj)

@@ -1,0 +1,267 @@
+"""Simulation runner: the TPU equivalent of the reference's workhorse
+``ExperimentRunner.run_simulation`` (reference: experiments/run_experiments.py:98-314).
+
+Call-stack parity (SURVEY.md §3.1): seed -> load data + model -> attack +
+defense factories -> per-client partition + poisoning -> round loop ->
+evaluate per round -> triggered-testset ASR -> JSON results. The difference
+is that each round is one jitted program over the stacked client axis
+instead of a sequential Python loop.
+
+Deliberate fixes vs the reference (SURVEY.md §2.9): alpha is plumbed,
+model-poisoning attacks actually fire in simulation, FLTrust works (the
+engine computes its root-trained server delta), and the partition seed is a
+real config field.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from multimodal_fl_security_tpu.attacks import get_attack
+from multimodal_fl_security_tpu.attacks.backdoor import DistributedBackdoorAttack
+from multimodal_fl_security_tpu.data.datasets import Dataset, load_dataset
+from multimodal_fl_security_tpu.data.partition import partition_data
+from multimodal_fl_security_tpu.data.stacking import stack_clients
+from multimodal_fl_security_tpu.defenses import get_defense
+from multimodal_fl_security_tpu.experiments.config import (
+    ExperimentConfig,
+    ExperimentResults,
+)
+from multimodal_fl_security_tpu.models import create_model, init_model
+from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+from multimodal_fl_security_tpu.utils import metrics as M
+
+logger = logging.getLogger(__name__)
+
+
+class ExperimentRunner:
+    def __init__(self, results_dir: str = "results"):
+        self.results_dir = results_dir
+
+    # ------------------------------------------------------------------
+    def run_simulation(self, config: ExperimentConfig,
+                       save: bool = False) -> ExperimentResults:
+        t0 = time.time()
+        rng = jax.random.PRNGKey(config.seed)
+        init_key, round_key = jax.random.split(rng)
+
+        # L1: data ------------------------------------------------------
+        ds_kwargs = dict(config.dataset_params)
+        train = load_dataset(config.dataset, "train", config.data_dir, **ds_kwargs)
+        test = load_dataset(config.dataset, "test", config.data_dir, **ds_kwargs)
+
+        # L3: attack + defense -------------------------------------------
+        attack = (
+            get_attack(config.attack_type, config.attack_config())
+            if config.attack_enabled
+            else get_attack("none")
+        )
+        defense = (
+            get_defense(config.defense_type, config.defense_config())
+            if config.defense_enabled
+            else get_defense("none")
+        )
+
+        # L1: partition + per-client data poisoning ----------------------
+        client_indices = partition_data(
+            train.labels,
+            config.num_clients,
+            config.partition,
+            alpha=config.alpha,
+            seed=config.partition_seed,
+        )
+        malicious = sorted(config.malicious_clients)
+        shards: List[Dataset] = []
+        for i, idx in enumerate(client_indices):
+            shard = train.subset(idx)
+            if i in malicious and attack.is_data_poisoning():
+                if isinstance(attack, DistributedBackdoorAttack):
+                    part = attack.for_part(malicious.index(i) % attack.num_parts)
+                    shard = part.poison_dataset(shard)
+                else:
+                    shard = attack.poison_dataset(shard)
+            shards.append(shard)
+
+        # Re-assemble into one dataset-per-client stacking.
+        client_data = _stack_shards(shards, train.num_classes, config.batch_size)
+
+        # L2: model -------------------------------------------------------
+        model = create_model(config.default_model(), num_classes=train.num_classes)
+        sample_batch = {
+            k: v[0, : config.batch_size] for k, v in client_data.arrays.items()
+        }
+        variables = init_model(model, sample_batch, rng=init_key)
+        params = variables["params"]
+
+        # FLTrust root dataset (reference: fltrust.py:67-83 subsamples 100).
+        root_data = None
+        if getattr(defense, "needs_server_grad", False):
+            root_size = int(getattr(defense, "root_dataset_size", 100))
+            root_rng = np.random.RandomState(config.seed)
+            root_idx = root_rng.choice(
+                len(train), size=min(root_size, len(train)), replace=False
+            )
+            root_data = {k: v[root_idx] for k, v in train.arrays.items()}
+
+        mesh = None
+        if config.use_mesh:
+            from multimodal_fl_security_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(config.mesh_devices)
+            if config.num_clients % mesh.devices.size != 0:
+                raise ValueError(
+                    f"num_clients={config.num_clients} must divide evenly over "
+                    f"{mesh.devices.size} mesh devices"
+                )
+
+        spec = TrainSpec(
+            learning_rate=config.learning_rate,
+            momentum=config.momentum,
+            weight_decay=config.weight_decay,
+            clip_norm=config.clip_norm,
+            local_epochs=config.local_epochs,
+            batch_size=config.batch_size,
+        )
+        engine = RoundEngine(
+            model,
+            client_data,
+            spec,
+            attack=attack,
+            defense=defense,
+            malicious_clients=malicious,
+            root_data=root_data,
+            mesh=mesh,
+        )
+
+        # Evaluation programs (built once; jit caches inside).
+        eval_batches = M.reshape_eval_batches(test, config.eval_batch_size)
+        eval_fn = M.make_eval_fn(model, config.eval_batch_size)
+
+        # ROUND LOOP ------------------------------------------------------
+        round_accuracies: List[float] = []
+        round_losses: List[float] = []
+        for r in range(config.num_rounds):
+            rkey = jax.random.fold_in(round_key, r)
+            params, round_metrics = engine.run_round(params, rkey)
+            totals, _ = eval_fn(params, eval_batches)
+            count = max(float(totals["count"]), 1.0)
+            acc = float(totals["correct"]) / count
+            loss = float(totals["loss_sum"]) / count
+            round_accuracies.append(acc)
+            round_losses.append(loss)
+            logger.info(
+                "%s round %d/%d acc=%.4f loss=%.4f",
+                config.name, r + 1, config.num_rounds, acc, loss,
+            )
+            if (
+                config.checkpoint_dir
+                and config.checkpoint_every
+                and (r + 1) % config.checkpoint_every == 0
+            ):
+                _save_checkpoint(config, params, r + 1, acc, loss)
+
+        # ASR -------------------------------------------------------------
+        asr: Optional[float] = None
+        if config.attack_enabled:
+            triggered = attack.create_poisoned_testset(test)
+            if triggered is not None:
+                asr = M.compute_attack_success_rate(
+                    model, params, triggered,
+                    target_class=int(getattr(attack, "target_class", 0)),
+                    batch_size=config.eval_batch_size,
+                )
+            elif attack.name == "label_flip":
+                asr = M.compute_label_flip_asr(
+                    model, params, test,
+                    source_class=int(getattr(attack, "source_class", 7)),
+                    target_class=int(getattr(attack, "target_class", 1)),
+                    batch_size=config.eval_batch_size,
+                )
+
+        results = ExperimentResults(
+            config=config,
+            round_accuracies=round_accuracies,
+            round_losses=round_losses,
+            final_accuracy=round_accuracies[-1] if round_accuracies else 0.0,
+            final_loss=round_losses[-1] if round_losses else 0.0,
+            attack_success_rate=asr,
+            training_time_seconds=time.time() - t0,
+            timestamp=datetime.datetime.now().isoformat(),
+        )
+        if save:
+            os.makedirs(self.results_dir, exist_ok=True)
+            stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+            results.save(os.path.join(self.results_dir, f"{config.name}_{stamp}.json"))
+        return results
+
+    # ------------------------------------------------------------------
+    def run_multi_seed(self, config: ExperimentConfig,
+                       seeds: List[int]) -> Dict:
+        """Mean/std/95% CI over seeds (reference: run_experiments.py:397-501)."""
+        runs = []
+        for seed in seeds:
+            import dataclasses
+
+            cfg = dataclasses.replace(config, seed=seed,
+                                      name=f"{config.name}_seed{seed}")
+            runs.append(self.run_simulation(cfg))
+        accs = np.array([r.final_accuracy for r in runs])
+        asrs = [r.attack_success_rate for r in runs if r.attack_success_rate is not None]
+        n = len(accs)
+        sem = accs.std(ddof=1) / np.sqrt(n) if n > 1 else 0.0
+        out = {
+            "config_name": config.name,
+            "seeds": seeds,
+            "final_accuracy_mean": float(accs.mean()),
+            "final_accuracy_std": float(accs.std(ddof=1)) if n > 1 else 0.0,
+            "final_accuracy_ci95": float(1.96 * sem),
+            "runs": [r.to_dict() for r in runs],
+        }
+        if asrs:
+            a = np.array(asrs)
+            out["asr_mean"] = float(a.mean())
+            out["asr_std"] = float(a.std(ddof=1)) if len(a) > 1 else 0.0
+        return out
+
+
+def _stack_shards(shards: List[Dataset], num_classes: int, batch_size: int):
+    """Stack a list of (possibly poisoned) per-client datasets."""
+    merged_arrays = {}
+    for key in shards[0].arrays:
+        merged_arrays[key] = np.concatenate([s.arrays[key] for s in shards])
+    merged = Dataset(merged_arrays, num_classes)
+    offsets = np.cumsum([0] + [len(s) for s in shards])
+    indices = [np.arange(offsets[i], offsets[i + 1]) for i in range(len(shards))]
+    return stack_clients(merged, indices, pad_multiple=batch_size)
+
+
+def _save_checkpoint(config: ExperimentConfig, params, round_idx: int,
+                     acc: float, loss: float) -> None:
+    """Checkpoint every N rounds (reference: run_experiments.py:268-279)."""
+    import pickle
+
+    os.makedirs(config.checkpoint_dir, exist_ok=True)
+    path = os.path.join(
+        config.checkpoint_dir, f"{config.name}_round{round_idx}.pkl"
+    )
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "round": round_idx,
+                "params": jax.device_get(params),
+                "accuracy": acc,
+                "loss": loss,
+            },
+            f,
+        )
+
+
+def run_simulation(config: ExperimentConfig, **kwargs) -> ExperimentResults:
+    return ExperimentRunner().run_simulation(config, **kwargs)
