@@ -1,0 +1,97 @@
+"""North-star benchmark: FL rounds/min at 100 clients with Krum defense.
+
+Workload calibration vs the reference (BASELINE.md): the reference's quick
+config trains 5 clients x 12,000 MNIST samples x 2 local epochs per round
+(~120k sample-passes/round) at ~30 s/round => ~2 rounds/min
+(`training_time_seconds` in reference experiments/quick_results/*.json).
+This benchmark runs the SAME total work — 100 clients x 600 samples x 2
+epochs = 120k sample-passes/round on MNIST-shaped data (28x28x1, SimpleCNN
+~1.2M params) — plus full Krum aggregation over the 100-client update
+matrix, as one jitted round program on a TPU.
+
+Prints one JSON line:
+  {"metric": "fl_rounds_per_min_100c_krum", "value": R, "unit": "rounds/min",
+   "vs_baseline": R / 2.0}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main() -> None:
+    import jax
+
+    # Persistent compile cache: the round program's first compile dominates
+    # wall time on a fresh process.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.data.partition import partition_data
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.defenses import get_defense
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    num_clients = 100
+    samples_per_client = 600
+    batch_size = 32
+    local_epochs = 2
+
+    train = load_dataset(
+        "synthetic", "train", num_train=num_clients * samples_per_client,
+        num_test=1,
+    )
+    idx = partition_data(train.labels, num_clients, "iid")
+    client_data = stack_clients(train, idx, pad_multiple=batch_size)
+
+    model = create_model("simple_cnn", num_classes=10)
+    sample = {k: v[0, :batch_size] for k, v in client_data.arrays.items()}
+    params = init_model(model, sample, seed=0)["params"]
+
+    spec = TrainSpec(
+        learning_rate=0.01, local_epochs=local_epochs, batch_size=batch_size
+    )
+    engine = RoundEngine(
+        model,
+        client_data,
+        spec,
+        defense=get_defense("krum", {"num_malicious": 20, "multi_k": 1}),
+    )
+
+    # Warmup (compile). float() forces a device->host transfer: on some
+    # remote-attached platforms block_until_ready returns early, so every
+    # timing below syncs through a value fetch.
+    params_w, metrics = engine.run_round(params, jax.random.PRNGKey(0))
+    float(metrics["client_loss_mean"])
+
+    n_rounds = 3
+    t0 = time.perf_counter()
+    p = params
+    for r in range(n_rounds):
+        p, metrics = engine.run_round(p, jax.random.PRNGKey(r + 1))
+    final_loss = float(metrics["client_loss_mean"])
+    dt = time.perf_counter() - t0
+    assert final_loss == final_loss, "non-finite loss"
+
+    rounds_per_min = n_rounds / dt * 60.0
+    baseline_rounds_per_min = 2.0  # reference: ~30 s/round (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "fl_rounds_per_min_100c_krum",
+                "value": round(rounds_per_min, 3),
+                "unit": "rounds/min",
+                "vs_baseline": round(rounds_per_min / baseline_rounds_per_min, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
