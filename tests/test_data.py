@@ -1,0 +1,104 @@
+"""Data layer tests (reference: tests/test_data.py): partition coverage and
+disjointness, IID balance, Dirichlet heterogeneity, reproducibility, and
+client stacking masks. Runs on the synthetic dataset (no downloads here)."""
+
+import numpy as np
+import pytest
+
+from multimodal_fl_security_tpu.data.datasets import load_dataset
+from multimodal_fl_security_tpu.data.partition import (
+    analyze_partition,
+    partition_data,
+)
+from multimodal_fl_security_tpu.data.stacking import stack_clients
+
+
+@pytest.fixture(scope="module")
+def labels():
+    return load_dataset("synthetic", "train", num_train=4000).labels
+
+
+def test_iid_disjoint_and_complete(labels):
+    parts = partition_data(labels, 10, "iid")
+    allidx = np.concatenate(parts)
+    assert len(allidx) == len(labels)
+    assert len(np.unique(allidx)) == len(labels)  # reference: :59-80
+
+
+def test_iid_class_balance(labels):
+    parts = partition_data(labels, 10, "iid")
+    for p in parts:
+        counts = np.bincount(labels[p], minlength=10)
+        counts = counts[counts > 0]
+        assert counts.max() / counts.min() < 2.5  # reference: :82-98
+
+
+def test_dirichlet_low_alpha_is_heterogeneous(labels):
+    iid_parts = partition_data(labels, 10, "iid")
+    nid_parts = partition_data(labels, 10, "dirichlet", alpha=0.1)
+    assert len(np.unique(np.concatenate(nid_parts))) == len(labels)
+
+    def mean_emd(parts):
+        return analyze_partition(labels, parts, 10)["mean_emd"]
+
+    assert mean_emd(nid_parts) > 2 * mean_emd(iid_parts)  # reference: :112-134
+
+
+def test_alpha_actually_changes_partition(labels):
+    """Regression guard for the reference's alpha-never-plumbed bug
+    (SURVEY.md §2.9-1)."""
+    a01 = partition_data(labels, 10, "dirichlet", alpha=0.1)
+    a50 = partition_data(labels, 10, "dirichlet", alpha=5.0)
+    h01 = analyze_partition(labels, a01, 10)["mean_emd"]
+    h50 = analyze_partition(labels, a50, 10)["mean_emd"]
+    assert h01 > h50
+
+
+def test_partition_reproducible(labels):
+    p1 = partition_data(labels, 8, "dirichlet", alpha=0.5, seed=42)
+    p2 = partition_data(labels, 8, "dirichlet", alpha=0.5, seed=42)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)  # reference: :136-141
+    p3 = partition_data(labels, 8, "dirichlet", alpha=0.5, seed=7)
+    assert any(len(a) != len(b) or (a != b).any() for a, b in zip(p1, p3))
+
+
+def test_shard_partition_pathological(labels):
+    parts = partition_data(labels, 10, "shard", shards_per_client=2)
+    assert len(np.unique(np.concatenate(parts))) == len(labels)
+    stats = analyze_partition(labels, parts, 10)
+    # Most clients see few classes (2 shards => typically <= 3 classes).
+    present = [c["num_classes_present"] for c in stats["clients"]]
+    assert np.median(present) <= 3
+
+
+def test_stacking_masks_and_counts(labels):
+    ds = load_dataset("synthetic", "train", num_train=1000)
+    parts = partition_data(ds.labels, 4, "dirichlet", alpha=0.3)
+    cd = stack_clients(ds, parts, pad_multiple=32)
+    assert cd.mask.shape[0] == 4
+    assert cd.max_samples % 32 == 0
+    np.testing.assert_array_equal(cd.counts, [len(p) for p in parts])
+    # Mask sums equal true counts; padded slots zero.
+    np.testing.assert_array_equal(cd.mask.sum(1).astype(int), cd.counts)
+    for i, p in enumerate(parts):
+        np.testing.assert_array_equal(
+            cd.arrays["label"][i, : len(p)], ds.labels[p]
+        )
+        assert (cd.arrays["label"][i, len(p):] == 0).all()
+
+
+def test_synthetic_train_test_share_structure():
+    """Train and test must be the same task (prototypes shared across
+    splits) or nothing is learnable."""
+    tr = load_dataset("synthetic", "train", num_train=3000, seed=3)
+    te = load_dataset("synthetic", "test", num_test=3000, seed=3)
+    # Nearest-prototype structure: the per-class means must agree across
+    # splits far better than means of different classes do.
+    for c in range(3):
+        mtr = tr.arrays["image"][tr.labels == c].mean(0)
+        mte = te.arrays["image"][te.labels == c].mean(0)
+        other = te.arrays["image"][te.labels == (c + 1) % 10].mean(0)
+        same_gap = np.abs(mtr - mte).mean()
+        cross_gap = np.abs(mtr - other).mean()
+        assert same_gap < 0.5 * cross_gap, (same_gap, cross_gap)
