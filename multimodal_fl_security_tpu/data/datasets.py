@@ -157,6 +157,58 @@ def _synthetic_avmnist(split: str = "train", data_dir=None, num_train: int = 200
     )
 
 
+@DATASETS.register("synthetic_clip")
+def _synthetic_clip(split: str = "train", data_dir=None, num_train: int = 2000,
+                    num_test: int = 500, num_classes: int = 10,
+                    seq_len: int = 16, vocab_size: int = 1024,
+                    seed: int = 0, **_) -> Dataset:
+    """Image + token-sequence pairs for the CLIP-style classifier."""
+    n = num_train if split == "train" else num_test
+    s = seed + (0 if split == "train" else 1)
+    images, labels = _synthetic_images(n, (32, 32, 3), num_classes,
+                                       seed=seed, split_seed=s)
+    # Class-conditional "caption": a bag of 6 class-specific tokens plus
+    # random filler, with id 0 reserved for padding.
+    proto_rng = np.random.RandomState(seed + 21)
+    class_tokens = proto_rng.randint(1, vocab_size, size=(num_classes, 6))
+    rng = np.random.RandomState(s + 23)
+    text = np.zeros((n, seq_len), np.int32)
+    text[:, :6] = class_tokens[labels]
+    filler_len = max(seq_len - 8, 0)
+    if filler_len:
+        text[:, 6 : 6 + filler_len] = rng.randint(
+            1, vocab_size, size=(n, filler_len)
+        )
+    return Dataset(
+        {"image": images, "text": text, "label": labels}, num_classes,
+        name="synthetic_clip", meta={"vocab_size": vocab_size},
+    )
+
+
+@DATASETS.register("synthetic_cremad")
+def _synthetic_cremad(split: str = "train", data_dir=None, num_train: int = 1200,
+                      num_test: int = 300, num_frames: int = 4,
+                      seed: int = 0, **_) -> Dataset:
+    """Audio (mel) + video (frame stack) emotion-shaped task, 6 classes."""
+    n = num_train if split == "train" else num_test
+    s = seed + (0 if split == "train" else 1)
+    proto_rng = np.random.RandomState(seed + 31)
+    audio_protos = proto_rng.rand(6, 20, 32, 1).astype(np.float32)
+    video_protos = proto_rng.rand(6, num_frames, 16, 16, 1).astype(np.float32)
+    rng = np.random.RandomState(s + 37)
+    labels = rng.randint(0, 6, size=n).astype(np.int32)
+    audio = audio_protos[labels] + 0.35 * rng.randn(n, 20, 32, 1)
+    video = video_protos[labels] + 0.35 * rng.randn(n, num_frames, 16, 16, 1)
+    return Dataset(
+        {
+            "audio": audio.astype(np.float32),
+            "video": video.astype(np.float32),
+            "label": labels,
+        },
+        6, name="synthetic_cremad", meta={},
+    )
+
+
 # ---------------------------------------------------------------------------
 # MNIST from local IDX files (reference: src/utils/data_loader.py:24-50)
 # ---------------------------------------------------------------------------

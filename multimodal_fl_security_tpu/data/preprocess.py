@@ -1,0 +1,116 @@
+"""Device-side preprocessing: normalization, resize, log-mel spectrogram,
+hash tokenization.
+
+The reference does all preprocessing on the host inside torchvision
+transforms (reference: src/utils/data_loader.py:16-21,
+src/utils/cub200_loader.py:192-216). Here every transform is a pure jnp
+function, so preprocessing fuses into the XLA input pipeline and runs on
+device (BASELINE.json north star: "image/text/audio preprocessing fuses into
+XLA device-side pipelines").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize(images: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """Channel-wise (x - mean) / std; mean/std scalars or per-channel."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (images.astype(jnp.float32) - mean) / std
+
+
+def resize_images(images: jnp.ndarray, height: int, width: int,
+                  method: str = "bilinear") -> jnp.ndarray:
+    """Batched NHWC resize on device (vs torchvision Resize on host)."""
+    b, _, _, c = images.shape
+    return jax.image.resize(images, (b, height, width, c), method=method)
+
+
+def random_flip(key: jnp.ndarray, images: jnp.ndarray, p: float = 0.5):
+    """Per-sample horizontal flip (train-time augmentation)."""
+    flips = jax.random.bernoulli(key, p, (images.shape[0],))
+    return jnp.where(flips[:, None, None, None], images[:, :, ::-1, :], images)
+
+
+# ---------------------------------------------------------------------------
+# Audio: log-mel spectrogram
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + f / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+
+def mel_filterbank(num_mels: int, num_fft_bins: int,
+                   sample_rate: int = 16000,
+                   fmin: float = 0.0, fmax: Optional[float] = None) -> np.ndarray:
+    """Triangular mel filterbank matrix [num_mels, num_fft_bins] (host
+    constant; the matmul it feeds runs on the MXU)."""
+    fmax = fmax or sample_rate / 2
+    mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), num_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    bins = np.floor((num_fft_bins * 2 - 1) * hz_pts / sample_rate).astype(int)
+    bins = np.clip(bins, 0, num_fft_bins - 1)
+    fb = np.zeros((num_mels, num_fft_bins), np.float32)
+    for m in range(num_mels):
+        lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+        if mid > lo:
+            fb[m, lo:mid] = (np.arange(lo, mid) - lo) / max(mid - lo, 1)
+        if hi > mid:
+            fb[m, mid:hi] = (hi - np.arange(mid, hi)) / max(hi - mid, 1)
+    return fb
+
+
+@partial(jax.jit, static_argnames=("frame_length", "hop", "num_mels",
+                                   "sample_rate"))
+def log_mel_spectrogram(waveform: jnp.ndarray, frame_length: int = 256,
+                        hop: int = 128, num_mels: int = 20,
+                        sample_rate: int = 16000) -> jnp.ndarray:
+    """Batched waveform [B, N] -> log-mel spectrogram [B, num_mels, T, 1].
+
+    STFT via strided framing + rFFT; Hann window; mel projection is one
+    matmul. Everything is on device — the host never sees a spectrogram.
+    """
+    b, n = waveform.shape
+    num_frames = 1 + (n - frame_length) // hop
+    idx = (jnp.arange(num_frames)[:, None] * hop
+           + jnp.arange(frame_length)[None, :])
+    frames = waveform[:, idx]  # [B, T, frame_length]
+    window = jnp.hanning(frame_length).astype(jnp.float32)
+    spec = jnp.abs(jnp.fft.rfft(frames * window, axis=-1))  # [B, T, F]
+    fb = jnp.asarray(mel_filterbank(num_mels, spec.shape[-1], sample_rate))
+    mel = jnp.einsum("btf,mf->bmt", spec ** 2, fb)
+    return jnp.log(mel + 1e-6)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Text: hash tokenizer
+# ---------------------------------------------------------------------------
+
+
+def hash_tokenize(texts: Sequence[str], seq_len: int = 16,
+                  vocab_size: int = 1024) -> np.ndarray:
+    """Whitespace-split + stable-hash vocabulary mapping; id 0 is padding.
+
+    A dependency-free tokenizer (host-side string handling is unavoidable;
+    the embedding lookup it feeds is on device).
+    """
+    out = np.zeros((len(texts), seq_len), np.int32)
+    for i, t in enumerate(texts):
+        for j, tok in enumerate(str(t).lower().split()[:seq_len]):
+            h = 2166136261
+            for ch in tok.encode():
+                h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+            out[i, j] = 1 + (h % (vocab_size - 1))
+    return out

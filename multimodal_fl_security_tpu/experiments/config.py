@@ -72,10 +72,13 @@ class ExperimentConfig:
             "synthetic_mnist": "simple_cnn",
             "cifar10": "cifar_cnn",
             "synthetic_cifar": "cifar_cnn",
-            "cub200": "resnet50_multimodal",
+            "cub200": "resnet50",
+            "cub200_multimodal": "multimodal_cnn",
             "synthetic_multimodal": "multimodal_cnn",
             "synthetic_avmnist": "avmnist_fusion",
             "avmnist": "avmnist_fusion",
+            "synthetic_clip": "clip_style",
+            "synthetic_cremad": "cremad_fusion",
         }
         return self.model or table.get(self.dataset, "simple_cnn")
 

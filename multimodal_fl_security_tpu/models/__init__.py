@@ -21,3 +21,9 @@ from multimodal_fl_security_tpu.models.registry import (  # noqa: F401
 )
 from multimodal_fl_security_tpu.models.simple_cnn import SimpleCNN  # noqa: F401
 from multimodal_fl_security_tpu.models.multimodal import MultimodalFusionCNN  # noqa: F401
+from multimodal_fl_security_tpu.models.resnet import ResNet  # noqa: F401
+from multimodal_fl_security_tpu.models.fusion import (  # noqa: F401
+    AVMnistFusion,
+    ClipStyleClassifier,
+    CremadFusion,
+)

