@@ -1,0 +1,83 @@
+"""YAML configuration loading.
+
+The reference has a two-tier config system (SURVEY.md §5): nested YAML files
+(reference: configs/default.yaml:1-103 — experiment/server/client/data/
+model/attack/defense/logging/evaluation sections) for the distributed
+launcher, and the flat ExperimentConfig dataclass for the simulation path.
+Here one loader accepts both layouts and produces the canonical
+ExperimentConfig.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import yaml
+
+from multimodal_fl_security_tpu.experiments.config import ExperimentConfig
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(ExperimentConfig)}
+
+# nested-section key -> flat ExperimentConfig field
+_NESTED_MAP = {
+    ("experiment", "name"): "name",
+    ("experiment", "seed"): "seed",
+    ("server", "num_rounds"): "num_rounds",
+    ("server", "num_clients"): "num_clients",
+    ("client", "local_epochs"): "local_epochs",
+    ("client", "batch_size"): "batch_size",
+    ("client", "learning_rate"): "learning_rate",
+    ("client", "momentum"): "momentum",
+    ("data", "dataset"): "dataset",
+    ("data", "data_dir"): "data_dir",
+    ("data", "partition"): "partition",
+    ("data", "alpha"): "alpha",
+    ("model", "name"): "model",
+    ("attack", "enabled"): "attack_enabled",
+    ("attack", "type"): "attack_type",
+    ("attack", "malicious_clients"): "malicious_clients",
+    ("attack", "poison_ratio"): "poison_ratio",
+    ("attack", "source_class"): "source_class",
+    ("attack", "target_class"): "target_class",
+    ("attack", "trigger_size"): "trigger_size",
+    ("defense", "enabled"): "defense_enabled",
+    ("defense", "type"): "defense_type",
+    ("defense", "num_malicious"): "num_malicious_assumed",
+    ("defense", "trim_ratio"): "trim_ratio",
+}
+
+
+def config_from_dict(data: Dict[str, Any]) -> ExperimentConfig:
+    flat: Dict[str, Any] = {}
+    extra_attack: Dict[str, Any] = {}
+    extra_defense: Dict[str, Any] = {}
+    for key, value in data.items():
+        if key in _FIELD_NAMES:
+            flat[key] = value
+        elif isinstance(value, dict):
+            for sub, v in value.items():
+                mapped = _NESTED_MAP.get((key, sub))
+                if mapped:
+                    flat[mapped] = v
+                elif key == "attack":
+                    extra_attack[sub] = v
+                elif key == "defense":
+                    extra_defense[sub] = v
+                # other unmapped sections (logging/evaluation) are advisory
+    if extra_attack:
+        flat.setdefault("attack_params", {}).update(extra_attack)
+    if extra_defense:
+        flat.setdefault("defense_params", {}).update(extra_defense)
+    return ExperimentConfig(**flat)
+
+
+def load_config(path: str) -> ExperimentConfig:
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return config_from_dict(data)
+
+
+def save_config(config: ExperimentConfig, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(config.to_dict(), f, sort_keys=False)
