@@ -1,0 +1,171 @@
+"""FL clients: honest worker + malicious (attack-injecting) worker.
+
+Role parity with the reference's clients (reference: src/client/
+fl_client.py:62-282, src/client/malicious_client.py:39-126):
+  - params exchanged as flat float32 vectors (the reference used ndarray
+    lists; same information, one buffer);
+  - ``fit`` = set params -> jitted local SGD for E epochs -> reply
+    (params, num_examples, metrics);
+  - the malicious client poisons its shard once at startup (data poisoning)
+    and/or its update after training (model poisoning), and self-reports
+    ``attack_type`` in metrics exactly as the reference's does
+    (malicious_client.py:122-124).
+"""
+
+from __future__ import annotations
+
+import logging
+import socket
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_fl_security_tpu.attacks import get_attack
+from multimodal_fl_security_tpu.core.pytrees import flatten_tree, unflatten_tree
+from multimodal_fl_security_tpu.data.datasets import load_dataset
+from multimodal_fl_security_tpu.data.partition import partition_data
+from multimodal_fl_security_tpu.models import create_model, init_model
+from multimodal_fl_security_tpu.rounds.engine import TrainSpec, make_local_train_fn
+from multimodal_fl_security_tpu.runtime.transport import recv_msg, send_msg
+
+logger = logging.getLogger(__name__)
+
+
+class FLClient:
+    """Honest client: local shard + jitted local training."""
+
+    def __init__(self, client_id: int, config: Dict[str, Any]):
+        self.client_id = client_id
+        self.config = config
+        if not hasattr(self, "attack"):  # MaliciousFLClient sets it first
+            self.attack = None
+
+        dataset = load_dataset(
+            config.get("dataset", "synthetic"), "train",
+            config.get("data_dir"), **config.get("dataset_params", {})
+        )
+        parts = partition_data(
+            dataset.labels, config["num_clients"],
+            config.get("partition", "iid"), alpha=config.get("alpha", 0.5),
+            seed=config.get("partition_seed", 42),
+        )
+        shard = dataset.subset(parts[client_id])
+        shard = self._maybe_poison_data(shard)
+
+        self.batch_size = int(config.get("batch_size", 32))
+        n = (len(shard) // self.batch_size) * self.batch_size
+        n = max(n, self.batch_size)
+        pad = max(n - len(shard), 0)
+        self.num_examples = len(shard)
+        self.data = {
+            k: jnp.asarray(np.concatenate([v, v[:pad]])[:n])
+            for k, v in shard.arrays.items()
+        }
+        self.mask = jnp.ones((n,), jnp.float32)
+
+        self.model = create_model(
+            config.get("model") or "simple_cnn",
+            num_classes=dataset.num_classes,
+        )
+        sample = {k: v[: self.batch_size] for k, v in self.data.items()}
+        self.template_params = init_model(self.model, sample,
+                                          seed=0)["params"]
+        spec = TrainSpec(
+            learning_rate=float(config.get("learning_rate", 0.01)),
+            momentum=float(config.get("momentum", 0.9)),
+            weight_decay=float(config.get("weight_decay", 0.0)),
+            clip_norm=float(config.get("clip_norm", 1.0)),
+            local_epochs=int(config.get("local_epochs", 1)),
+            batch_size=self.batch_size,
+        )
+        self._train = jax.jit(make_local_train_fn(self.model, spec, n))
+
+    # -- hooks overridden by MaliciousFLClient ---------------------------
+    def _maybe_poison_data(self, shard):
+        return shard
+
+    def _maybe_poison_update(self, flat_update: np.ndarray,
+                             global_flat: np.ndarray,
+                             round_idx: int) -> np.ndarray:
+        return flat_update
+
+    def _extra_metrics(self) -> Dict[str, Any]:
+        return {}
+
+    # ---------------------------------------------------------------------
+    def fit(self, global_flat: np.ndarray, round_idx: int):
+        params = unflatten_tree(self.template_params,
+                                jnp.asarray(global_flat))
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.config.get("seed", 42) + self.client_id),
+            round_idx,
+        )
+        new_params, loss = self._train(params, self.data, self.mask, key)
+        flat = np.asarray(flatten_tree(new_params), np.float32)
+        flat = self._maybe_poison_update(flat, global_flat, round_idx)
+        metrics = {"loss": float(loss), **self._extra_metrics()}
+        return flat, self.num_examples, metrics
+
+    # ---------------------------------------------------------------------
+    def run(self, host: str = "127.0.0.1", port: int = 8080) -> None:
+        sock = socket.create_connection((host, port), timeout=600)
+        try:
+            send_msg(sock, {"type": "hello", "client_id": self.client_id})
+            while True:
+                msg = recv_msg(sock)
+                if msg.get("type") == "done":
+                    logger.info("client %d done", self.client_id)
+                    return
+                if msg.get("type") == "fit":
+                    flat, n, metrics = self.fit(msg["params"], msg["round"])
+                    send_msg(sock, {"params": flat, "num_examples": n,
+                                    "client_id": self.client_id,
+                                    "metrics": metrics})
+        finally:
+            sock.close()
+
+
+class MaliciousFLClient(FLClient):
+    """Attack-injecting client (reference: malicious_client.py:39-126)."""
+
+    def __init__(self, client_id: int, config: Dict[str, Any]):
+        attack_cfg = dict(config.get("attack_params", {}))
+        attack_cfg.setdefault("seed", config.get("seed", 42))
+        self.attack = get_attack(config.get("attack_type", "none"), attack_cfg)
+        self._num_clients = int(config["num_clients"])
+        super().__init__(client_id, config)
+
+    def _maybe_poison_data(self, shard):
+        if self.attack.is_data_poisoning():
+            # Once, at startup (reference: malicious_client.py:62-77).
+            return self.attack.poison_dataset(shard)
+        return shard
+
+    def _maybe_poison_update(self, flat_update, global_flat, round_idx):
+        if not self.attack.is_model_poisoning():
+            return flat_update
+        # Single-row call of the vectorized transform
+        # (reference: malicious_client.py:102-115). Benign statistics are
+        # unknown to a lone attacker here, matching the reference's
+        # standalone behavior.
+        key = jax.random.fold_in(jax.random.PRNGKey(1234), round_idx)
+        updates = jnp.asarray(flat_update)[None, :]
+        mal = jnp.ones((1,), jnp.float32)
+        out = self.attack.poison_updates(
+            key, updates, jnp.asarray(global_flat), mal, self._num_clients
+        )
+        return np.asarray(out[0], np.float32)
+
+    def _extra_metrics(self) -> Dict[str, Any]:
+        # Self-report, as the reference's malicious client does
+        # (malicious_client.py:122-124); the server logs/flags it.
+        return {"attack_type": self.attack.name}
+
+
+def start_client(client_id: int, config: Dict[str, Any],
+                 host: str = "127.0.0.1", port: int = 8080,
+                 malicious: bool = False) -> None:
+    cls = MaliciousFLClient if malicious else FLClient
+    cls(client_id, config).run(host, port)

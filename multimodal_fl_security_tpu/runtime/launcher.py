@@ -1,0 +1,143 @@
+"""Distributed experiment launcher: spawn a server + N client processes.
+
+Parity with the reference launcher (reference: run_experiment.py:79-169):
+loads a YAML config, starts the server process, staggers client process
+starts, waits for completion, and tears everything down on interrupt;
+``--server-only`` / ``--client i`` modes for manual multi-host runs.
+
+Usage:
+    python -m multimodal_fl_security_tpu.runtime.launcher --config cfg.yaml
+    python -m multimodal_fl_security_tpu.runtime.launcher --server-only ...
+    python -m multimodal_fl_security_tpu.runtime.launcher --client 2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import signal
+import subprocess
+import sys
+import time
+from typing import Any, Dict, List
+
+logger = logging.getLogger(__name__)
+
+
+def _server_main(config: Dict[str, Any], port: int) -> None:
+    import numpy as np
+
+    from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+    from multimodal_fl_security_tpu.utils.metrics import evaluate_model
+
+    dataset = load_dataset(config.get("dataset", "synthetic"), "train",
+                           config.get("data_dir"),
+                           **config.get("dataset_params", {}))
+    test = load_dataset(config.get("dataset", "synthetic"), "test",
+                        config.get("data_dir"),
+                        **config.get("dataset_params", {}))
+    model = create_model(config.get("model") or "simple_cnn",
+                         num_classes=dataset.num_classes)
+    sample = {k: v[:8] for k, v in dataset.arrays.items()}
+    params = init_model(model, sample, seed=0)["params"]
+    flat = np.asarray(flatten_tree(params), np.float32)
+
+    server = FLServer(
+        flat,
+        num_clients=int(config["num_clients"]),
+        num_rounds=int(config.get("num_rounds", 3)),
+        defense_type=config.get("defense_type", "none"),
+        defense_config=config.get("defense_params", {}),
+        port=port,
+    )
+    final = server.serve()
+
+    from multimodal_fl_security_tpu.core.pytrees import unflatten_tree
+    import jax.numpy as jnp
+
+    final_params = unflatten_tree(params, jnp.asarray(final))
+    stats = evaluate_model(model, final_params, test)
+    print(json.dumps({"final_accuracy": stats["accuracy"],
+                      "final_loss": stats["loss"],
+                      "rounds": len(server.history)}))
+
+
+def _client_main(config: Dict[str, Any], client_id: int, port: int) -> None:
+    from multimodal_fl_security_tpu.runtime.client import start_client
+
+    malicious = client_id in set(config.get("malicious_clients", []))
+    start_client(client_id, config, port=port, malicious=malicious)
+
+
+def run_experiment(config: Dict[str, Any], port: int = 8080,
+                   python: str = sys.executable) -> int:
+    """Spawn server + clients as subprocesses (reference:
+    run_experiment.py:79-127)."""
+    cfg_json = json.dumps(config)
+    env = dict(os.environ)
+    procs: List[subprocess.Popen] = []
+
+    def spawn(role_args: List[str]) -> subprocess.Popen:
+        return subprocess.Popen(
+            [python, "-m", "multimodal_fl_security_tpu.runtime.launcher",
+             "--config-json", cfg_json, "--port", str(port)] + role_args,
+            env=env,
+        )
+
+    try:
+        server = spawn(["--server-only"])
+        procs.append(server)
+        time.sleep(3.0)  # staggered start (reference: run_experiment.py:103)
+        for i in range(int(config["num_clients"])):
+            procs.append(spawn(["--client", str(i)]))
+            time.sleep(0.3)
+        rc = server.wait()
+        for p in procs[1:]:
+            p.wait(timeout=60)
+        return rc
+    except KeyboardInterrupt:
+        logger.info("interrupt: terminating %d processes", len(procs))
+        for p in procs:
+            p.send_signal(signal.SIGTERM)
+        return 130
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", help="YAML config path")
+    ap.add_argument("--config-json", help="inline JSON config (internal)")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--server-only", action="store_true")
+    ap.add_argument("--client", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if args.config_json:
+        config = json.loads(args.config_json)
+    elif args.config:
+        from multimodal_fl_security_tpu.utils.yaml_config import load_config
+
+        config = load_config(args.config).to_dict()
+    else:
+        ap.error("--config or --config-json required")
+
+    if args.server_only:
+        _server_main(config, args.port)
+        return 0
+    if args.client is not None:
+        _client_main(config, args.client, args.port)
+        return 0
+    return run_experiment(config, args.port)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""FL server: gathers client updates, applies a robust defense, broadcasts.
+
+Role parity with the reference's servers (reference: src/server/
+fl_server.py:76-186 FedAvgStrategy + start_server; src/server/
+robust_server.py:56-128 RobustFedAvg):
+  - example-count-weighted FedAvg baseline;
+  - pluggable defense applied to the gathered [C, D] update matrix
+    ON THE SERVER'S ACCELERATOR (one jnp reduction, not a host loop);
+  - **falls back to plain FedAvg if the defense raises**
+    (reference: robust_server.py:120-122);
+  - flags clients that self-report an attack_type in metrics
+    (reference: robust_server.py:84-89);
+  - per-round history saved to .npz (reference: fl_server.py:129-137).
+"""
+
+from __future__ import annotations
+
+import logging
+import socket
+import threading
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodal_fl_security_tpu.defenses import get_defense
+from multimodal_fl_security_tpu.runtime.transport import recv_msg, send_msg
+
+logger = logging.getLogger(__name__)
+
+
+class FLServer:
+    def __init__(
+        self,
+        initial_params: np.ndarray,          # flat float32 vector
+        num_clients: int,
+        num_rounds: int,
+        defense_type: str = "none",
+        defense_config: Optional[Dict[str, Any]] = None,
+        host: str = "0.0.0.0",
+        port: int = 8080,
+    ):
+        self.params = np.asarray(initial_params, np.float32)
+        self.num_clients = num_clients
+        self.num_rounds = num_rounds
+        self.defense = get_defense(defense_type, defense_config or {})
+        self.host, self.port = host, port
+        self.history: List[Dict[str, Any]] = []
+        self.flagged_clients: List[int] = []
+        self._round_key = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    def serve(self) -> np.ndarray:
+        """Run the full FL protocol; returns the final global params."""
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((self.host, self.port))
+        srv.listen(self.num_clients)
+        logger.info("server listening on %s:%d", self.host, self.port)
+
+        conns: List[socket.socket] = []
+        try:
+            while len(conns) < self.num_clients:
+                conn, addr = srv.accept()
+                hello = recv_msg(conn)
+                logger.info("client %s connected from %s",
+                            hello.get("client_id"), addr)
+                conns.append(conn)
+
+            for r in range(1, self.num_rounds + 1):
+                self._run_round(r, conns)
+
+            for conn in conns:
+                send_msg(conn, {"type": "done"})
+        finally:
+            for conn in conns:
+                conn.close()
+            srv.close()
+        return self.params
+
+    # ------------------------------------------------------------------
+    def _run_round(self, round_idx: int, conns: List[socket.socket]) -> None:
+        for conn in conns:
+            send_msg(conn, {"type": "fit", "round": round_idx,
+                            "params": self.params})
+
+        updates, weights, metrics = [], [], []
+        lock = threading.Lock()
+
+        def gather(conn):
+            reply = recv_msg(conn)
+            with lock:
+                updates.append(np.asarray(reply["params"], np.float32))
+                weights.append(float(reply.get("num_examples", 1)))
+                m = dict(reply.get("metrics", {}))
+                m.setdefault("client_id", reply.get("client_id"))
+                metrics.append(m)
+
+        threads = [threading.Thread(target=gather, args=(c,)) for c in conns]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        # Flag self-reported attackers (reference: robust_server.py:84-89).
+        for i, m in enumerate(metrics):
+            cid = m.get("client_id")
+            cid = i if cid is None else int(cid)
+            if m.get("attack_type") and cid not in self.flagged_clients:
+                logger.warning("client %d self-reports attack: %s",
+                               cid, m["attack_type"])
+                self.flagged_clients.append(cid)
+
+        stacked = jnp.asarray(np.stack(updates))
+        w = jnp.asarray(np.array(weights, np.float32))
+        self._round_key, dkey = jax.random.split(self._round_key)
+        ctx = {"global": jnp.asarray(self.params), "key": dkey}
+        try:
+            agg, aux = self.defense.aggregate_with_aux(stacked, w, ctx)
+            detected = self.defense.detect(stacked, w, ctx)
+            num_rejected = int(np.asarray(detected).sum())
+        except Exception:
+            # Defense failure -> plain FedAvg (reference: robust_server.py:120-122).
+            logger.exception("defense %s failed; falling back to FedAvg",
+                             self.defense.name)
+            from multimodal_fl_security_tpu.ops.reductions import weighted_mean
+
+            agg, aux, num_rejected = weighted_mean(stacked, w), {}, 0
+
+        self.params = np.asarray(agg, np.float32)
+        losses = [m.get("loss") for m in metrics if "loss" in m]
+        self.history.append({
+            "round": round_idx,
+            "mean_client_loss": float(np.mean(losses)) if losses else None,
+            "num_rejected": num_rejected,
+            "defense": self.defense.name,
+        })
+        logger.info("round %d aggregated (%s, rejected=%d)",
+                    round_idx, self.defense.name, num_rejected)
+
+    # ------------------------------------------------------------------
+    def save_results(self, path: str) -> None:
+        """History -> .npz (reference: fl_server.py:129-137)."""
+        np.savez(
+            path,
+            rounds=np.array([h["round"] for h in self.history]),
+            mean_client_loss=np.array(
+                [h["mean_client_loss"] or np.nan for h in self.history]
+            ),
+            num_rejected=np.array([h["num_rejected"] for h in self.history]),
+        )
+
+
+def start_server(initial_params: np.ndarray, num_clients: int,
+                 num_rounds: int, defense_type: str = "none",
+                 defense_config: Optional[Dict[str, Any]] = None,
+                 host: str = "0.0.0.0", port: int = 8080) -> np.ndarray:
+    server = FLServer(initial_params, num_clients, num_rounds, defense_type,
+                      defense_config, host, port)
+    return server.serve()

@@ -1,0 +1,148 @@
+"""Distributed-runtime tests: transport framing + a real server/client FL
+round over localhost TCP (threads, one process). The reference had NO
+integration tests for its distributed path (SURVEY.md §4) — these close
+that gap."""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from multimodal_fl_security_tpu.runtime.transport import (
+    _decode,
+    _encode,
+    recv_msg,
+    send_msg,
+)
+
+
+def test_transport_roundtrip_arrays_and_meta():
+    msg = {
+        "type": "fit",
+        "round": 3,
+        "params": np.arange(10, dtype=np.float32),
+        "mask": np.ones((2, 3), dtype=np.int32),
+    }
+    out = _decode(_encode(msg))
+    assert out["type"] == "fit" and out["round"] == 3
+    np.testing.assert_array_equal(out["params"], msg["params"])
+    np.testing.assert_array_equal(out["mask"], msg["mask"])
+    assert out["mask"].dtype == np.int32
+
+
+def test_transport_over_socket():
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    payload = {"x": np.random.rand(1000).astype(np.float32), "tag": "hi"}
+    received = {}
+
+    def server():
+        conn, _ = srv.accept()
+        received.update(recv_msg(conn))
+        send_msg(conn, {"ok": True})
+        conn.close()
+
+    t = threading.Thread(target=server)
+    t.start()
+    cli = socket.create_connection(("127.0.0.1", port))
+    send_msg(cli, payload)
+    reply = recv_msg(cli)
+    t.join()
+    cli.close()
+    srv.close()
+    assert reply["ok"] is True
+    np.testing.assert_array_equal(received["x"], payload["x"])
+
+
+@pytest.mark.slow
+def test_distributed_fl_round_over_tcp():
+    """3 honest clients + 1 malicious (scaling attack) against a
+    norm-bounding server, full protocol over localhost."""
+    import jax.numpy as jnp
+
+    from multimodal_fl_security_tpu.core.pytrees import (
+        flatten_tree,
+        unflatten_tree,
+    )
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.runtime.client import (
+        FLClient,
+        MaliciousFLClient,
+    )
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+    from multimodal_fl_security_tpu.utils.metrics import evaluate_model
+
+    config = {
+        "dataset": "synthetic",
+        "dataset_params": {"num_train": 512, "num_test": 200},
+        "num_clients": 4,
+        "batch_size": 16,
+        "local_epochs": 1,
+        "learning_rate": 0.05,
+        "partition": "iid",
+        "attack_type": "scaling",
+        "attack_params": {"scale": 100.0},
+        "malicious_clients": [3],
+    }
+    ds = load_dataset("synthetic", "train", **config["dataset_params"])
+    test = load_dataset("synthetic", "test", **config["dataset_params"])
+    model = create_model("simple_cnn", num_classes=10)
+    sample = {k: v[:16] for k, v in ds.arrays.items()}
+    template = init_model(model, sample, seed=0)["params"]
+    flat0 = np.asarray(flatten_tree(template), np.float32)
+
+    server = FLServer(flat0, num_clients=4, num_rounds=2,
+                      defense_type="norm_bounding",
+                      defense_config={"max_norm": 100.0},
+                      host="127.0.0.1", port=0)
+    # Bind an ephemeral port first so clients know where to connect.
+    import socket as sk
+
+    s = sk.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    server.port = port
+
+    # Construct + warm clients sequentially so the first jit compile seeds
+    # the persistent cache and the rest start hot (concurrent cold compiles
+    # on CPU would dominate the test).
+    clients = [
+        (MaliciousFLClient if i == 3 else FLClient)(i, config)
+        for i in range(4)
+    ]
+    for c in clients:
+        c.fit(flat0, 0)
+
+    result = {}
+
+    def run_server():
+        result["final"] = server.serve()
+
+    st = threading.Thread(target=run_server)
+    st.start()
+    import time
+
+    time.sleep(0.5)
+    cts = []
+    for c in clients:
+        cts.append(threading.Thread(target=c.run,
+                                    kwargs={"port": port}))
+        cts[-1].start()
+    st.join(timeout=300)
+    for t in cts:
+        t.join(timeout=60)
+    assert "final" in result, "server did not finish"
+
+    assert len(server.history) == 2
+    # The malicious client self-reported and was flagged.
+    assert len(server.flagged_clients) == 1
+    # Global model evaluates finitely and above chance-ish after 2 rounds.
+    final_params = unflatten_tree(template, jnp.asarray(result["final"]))
+    stats = evaluate_model(model, final_params, test)
+    assert np.isfinite(stats["loss"])
+    assert stats["accuracy"] > 0.08
