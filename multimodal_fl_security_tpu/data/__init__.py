@@ -10,3 +10,4 @@ from multimodal_fl_security_tpu.data.partition import (  # noqa: F401
     analyze_partition,
 )
 from multimodal_fl_security_tpu.data.stacking import stack_clients, ClientData  # noqa: F401
+from multimodal_fl_security_tpu.data import cub200  # noqa: F401  (registers)

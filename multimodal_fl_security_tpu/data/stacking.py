@@ -55,18 +55,20 @@ def stack_clients(
     ``pad_multiple`` rounds N_max up (e.g. to the batch size) so the batch
     grid divides evenly.
     """
+    from multimodal_fl_security_tpu.data.native import gather_pad
+
     c = len(client_indices)
     counts = np.array([len(ix) for ix in client_indices], dtype=np.int32)
     n_max = int(counts.max())
     if pad_multiple > 1:
         n_max = ((n_max + pad_multiple - 1) // pad_multiple) * pad_multiple
 
-    arrays: Dict[str, np.ndarray] = {}
-    for key, arr in dataset.arrays.items():
-        out = np.zeros((c, n_max) + arr.shape[1:], dtype=arr.dtype)
-        for i, ix in enumerate(client_indices):
-            out[i, : len(ix)] = arr[ix]
-        arrays[key] = out
+    # gather_pad dispatches to the multithreaded C++ path (native/
+    # mft_native.cpp) when libmft_native.so is built, numpy otherwise.
+    arrays: Dict[str, np.ndarray] = {
+        key: gather_pad(np.ascontiguousarray(arr), client_indices, n_max)
+        for key, arr in dataset.arrays.items()
+    }
 
     mask = np.zeros((c, n_max), dtype=np.float32)
     for i, ix in enumerate(client_indices):
