@@ -1,16 +1,24 @@
 """FLTrust (Cao et al., NDSS'21) — server-root-of-trust aggregation.
 
-Semantics parity with the reference (reference: src/defenses/fltrust.py:93-270):
+Semantics (reference: src/defenses/fltrust.py:93-270, corrected to the
+published algorithm):
   - the server trains the global model for one epoch on a small root dataset
     and uses the parameter delta as the trusted direction (:93-150);
-  - trust_i = ReLU(cosine(client_update_i, server_delta)) — NOTE the
-    reference compares the client's full *parameter vector* against the
-    server's *delta*; we reproduce that exactly (it is what the recorded
-    artifacts embody) (:152-186);
-  - each client update is rescaled to the server delta's norm (:188-216);
-  - aggregate = trust-weighted mean; if total trust ~ 0, the server delta
-    itself is returned (:255-270, reproducing the reference's param/delta
-    convention mix — documented divergence candidate).
+  - trust_i = ReLU(cosine(client_DELTA_i, server_delta)); each client delta
+    is rescaled to the server delta's norm; aggregate = global +
+    trust-weighted mean of normalized deltas (zero total trust -> global +
+    server delta).
+
+DOCUMENTED DIVERGENCE: the reference computes the cosine against the
+client's full *parameter vector* and rescales the whole vector to the
+delta's (tiny) norm (:152-216) — which would collapse the global model —
+but that code path never actually executes: the simulation and server both
+call ``aggregate`` without ``global_params``, FLTrust raises, and the
+caller falls back to FedAvg (SURVEY.md §2.9-3). There is therefore no
+recorded behavior to match; this implementation is Cao et al., NDSS'21 as
+published, operating in delta space via ctx["global"]. When ctx has no
+"global", deltas degenerate to the raw updates (useful for unit tests and
+for callers that already pass deltas).
 
 The server's root-training step runs as its own jitted program: the engine
 computes ctx["server_grad"] = flat(delta) each round and hands it to this
@@ -59,26 +67,31 @@ class FLTrustDefense(BaseDefense):
                 "it by training the global model on the root dataset)."
             )
         server_grad = ctx["server_grad"]
-        trust = self.trust_scores(updates, server_grad)
+        global_flat = ctx.get("global")
+        deltas = updates if global_flat is None else updates - global_flat[None, :]
+        trust = self.trust_scores(deltas, server_grad)
 
-        # Rescale each update to the server delta's norm (fltrust.py:188-216);
-        # zero-norm updates pass through unscaled.
-        u_norms = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(updates), axis=1), 0.0))
+        # Rescale each delta to the server delta's norm; zero-norm deltas
+        # pass through unscaled (fltrust.py:188-216, in delta space).
+        d_norms = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(deltas), axis=1), 0.0))
         s_norm = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(server_grad)), 0.0))
-        scale = jnp.where(u_norms >= 1e-10, s_norm / jnp.maximum(u_norms, 1e-10), 1.0)
-        normalized = updates * scale[:, None]
+        scale = jnp.where(d_norms >= 1e-10, s_norm / jnp.maximum(d_norms, 1e-10), 1.0)
+        normalized = deltas * scale[:, None]
 
         total_trust = jnp.sum(trust)
         weighted = jnp.einsum("c,cd->d", trust, normalized) / jnp.maximum(
             total_trust, 1e-10
         )
         # All-zero trust -> fall back to the server delta (fltrust.py:262-264).
-        agg = jnp.where(total_trust < 1e-10, server_grad, weighted)
+        agg_delta = jnp.where(total_trust < 1e-10, server_grad, weighted)
+        agg = agg_delta if global_flat is None else global_flat + agg_delta
         return agg, {"trust_scores": trust, "total_trust": total_trust}
 
     def detect(self, updates, weights, ctx=None):
         ctx = ctx or {}
-        trust = self.trust_scores(updates, ctx["server_grad"])
+        global_flat = ctx.get("global")
+        deltas = updates if global_flat is None else updates - global_flat[None, :]
+        trust = self.trust_scores(deltas, ctx["server_grad"])
         return (trust < self.trust_threshold).astype(jnp.float32)
 
     def get_metrics(self):

@@ -64,6 +64,7 @@ class ExperimentConfig:
     mesh_devices: Optional[int] = None
     checkpoint_every: int = 10
     checkpoint_dir: Optional[str] = None
+    resume_from_checkpoint: bool = False
 
     def default_model(self) -> str:
         table = {

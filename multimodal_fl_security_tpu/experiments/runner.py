@@ -147,7 +147,22 @@ class ExperimentRunner:
         # ROUND LOOP ------------------------------------------------------
         round_accuracies: List[float] = []
         round_losses: List[float] = []
-        for r in range(config.num_rounds):
+        start_round = 0
+        if config.checkpoint_dir and config.resume_from_checkpoint:
+            from multimodal_fl_security_tpu.utils.checkpoint import (
+                restore_checkpoint,
+            )
+
+            restored = restore_checkpoint(
+                os.path.join(config.checkpoint_dir, config.name), params
+            )
+            if restored is not None:
+                start_round, params, _, extra = restored
+                round_accuracies = list(extra.get("round_accuracies", []))
+                round_losses = list(extra.get("round_losses", []))
+                logger.info("%s resumed from round %d", config.name,
+                            start_round)
+        for r in range(start_round, config.num_rounds):
             rkey = jax.random.fold_in(round_key, r)
             params, round_metrics = engine.run_round(params, rkey)
             totals, _ = eval_fn(params, eval_batches)
@@ -165,7 +180,16 @@ class ExperimentRunner:
                 and config.checkpoint_every
                 and (r + 1) % config.checkpoint_every == 0
             ):
-                _save_checkpoint(config, params, r + 1, acc, loss)
+                from multimodal_fl_security_tpu.utils.checkpoint import (
+                    save_checkpoint,
+                )
+
+                save_checkpoint(
+                    os.path.join(config.checkpoint_dir, config.name),
+                    r + 1, params, rkey,
+                    extra={"round_accuracies": round_accuracies,
+                           "round_losses": round_losses},
+                )
 
         # ASR -------------------------------------------------------------
         asr: Optional[float] = None
@@ -240,27 +264,6 @@ def _stack_shards(shards: List[Dataset], num_classes: int, batch_size: int):
     offsets = np.cumsum([0] + [len(s) for s in shards])
     indices = [np.arange(offsets[i], offsets[i + 1]) for i in range(len(shards))]
     return stack_clients(merged, indices, pad_multiple=batch_size)
-
-
-def _save_checkpoint(config: ExperimentConfig, params, round_idx: int,
-                     acc: float, loss: float) -> None:
-    """Checkpoint every N rounds (reference: run_experiments.py:268-279)."""
-    import pickle
-
-    os.makedirs(config.checkpoint_dir, exist_ok=True)
-    path = os.path.join(
-        config.checkpoint_dir, f"{config.name}_round{round_idx}.pkl"
-    )
-    with open(path, "wb") as f:
-        pickle.dump(
-            {
-                "round": round_idx,
-                "params": jax.device_get(params),
-                "accuracy": acc,
-                "loss": loss,
-            },
-            f,
-        )
 
 
 def run_simulation(config: ExperimentConfig, **kwargs) -> ExperimentResults:
