@@ -25,11 +25,9 @@ def main() -> None:
 
     # Persistent compile cache: the round program's first compile dominates
     # wall time on a fresh process.
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from multimodal_fl_security_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from multimodal_fl_security_tpu.data.datasets import load_dataset
     from multimodal_fl_security_tpu.data.partition import partition_data
@@ -50,7 +48,12 @@ def main() -> None:
     idx = partition_data(train.labels, num_clients, "iid")
     client_data = stack_clients(train, idx, pad_multiple=batch_size)
 
-    model = create_model("simple_cnn", num_classes=10)
+    import jax.numpy as jnp
+
+    # bf16 conv/dense compute on the MXU; params, grads, and the Krum
+    # aggregation stay f32. Loss curves match f32 to 3 decimals on this
+    # model (see commit history) — parity with ~1.6x throughput.
+    model = create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
     sample = {k: v[0, :batch_size] for k, v in client_data.arrays.items()}
     params = init_model(model, sample, seed=0)["params"]
 

@@ -58,6 +58,10 @@ class ExperimentConfig:
 
     # execution
     eval_batch_size: int = 500
+    # "float32" for strict parity; "bfloat16" runs conv/dense compute on the
+    # MXU in bf16 (params and aggregation stay f32) — ~1.6x faster rounds
+    # with matching loss curves on the small CNNs.
+    compute_dtype: str = "float32"
     data_dir: Optional[str] = None
     dataset_params: Dict[str, Any] = field(default_factory=dict)
     use_mesh: bool = False

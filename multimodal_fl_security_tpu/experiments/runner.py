@@ -93,7 +93,12 @@ class ExperimentRunner:
         client_data = _stack_shards(shards, train.num_classes, config.batch_size)
 
         # L2: model -------------------------------------------------------
-        model = create_model(config.default_model(), num_classes=train.num_classes)
+        import jax.numpy as jnp
+
+        model = create_model(
+            config.default_model(), num_classes=train.num_classes,
+            dtype=jnp.dtype(config.compute_dtype).type,
+        )
         sample_batch = {
             k: v[0, : config.batch_size] for k, v in client_data.arrays.items()
         }
