@@ -41,7 +41,11 @@ class DPSGDDefense(BaseDefense):
 
     def __init__(self, config: Optional[Dict[str, Any]] = None):
         super().__init__(config)
-        self.clip_norm = float(self.config.get("clip_norm", 1.0))
+        # Reference defaults (differential_privacy.py:46-48). NOTE: the rule
+        # clips each client's FULL parameter vector; with clip_norm << the
+        # model's weight norm this collapses the global model — the
+        # reference's paper grid (clip 1.0) has this exact property.
+        self.clip_norm = float(self.config.get("clip_norm", 10.0))
         self.noise_multiplier = float(self.config.get("noise_multiplier", 0.005))
         self.delta = float(self.config.get("delta", 1e-5))
         self.rounds_applied = 0  # host-side accounting only

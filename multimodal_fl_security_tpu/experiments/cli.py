@@ -102,6 +102,21 @@ def cmd_quick_test(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_paper(args) -> int:
+    from multimodal_fl_security_tpu.experiments.paper import (
+        run_paper_experiments,
+    )
+
+    out = run_paper_experiments(
+        preset=args.preset, results_dir=args.results_dir,
+        full_distributions=args.full_distributions,
+        resume=not args.no_resume,
+    )
+    print(out["markdown"])
+    print(f"{out['num_experiments']} experiments -> {args.results_dir}")
+    return 0
+
+
 def cmd_analyze(args) -> int:
     from multimodal_fl_security_tpu.experiments.stats import analyze_results_dir
     from multimodal_fl_security_tpu.experiments.visualize import (
@@ -160,6 +175,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     q = sub.add_parser("quick-test", help="fast sanity gate")
     q.set_defaults(fn=cmd_quick_test)
+
+    pp = sub.add_parser("paper", help="paper attack x defense matrix")
+    pp.add_argument("--preset", default="quick",
+                    choices=["quick", "mnist", "cub200"])
+    pp.add_argument("--full-distributions", action="store_true",
+                    help="add dirichlet alpha in {0.5, 0.1} cells")
+    pp.add_argument("--results-dir", default="results/paper")
+    pp.add_argument("--no-resume", action="store_true")
+    pp.set_defaults(fn=cmd_paper)
 
     a = sub.add_parser("analyze", help="statistical analysis of results dir")
     a.add_argument("results_dir")

@@ -69,6 +69,11 @@ class ExperimentConfig:
     checkpoint_every: int = 10
     checkpoint_dir: Optional[str] = None
     resume_from_checkpoint: bool = False
+    # Per-round observability (reference tracks ASR only at the end;
+    # tracking.py-equivalent per-round logging is opt-in here).
+    eval_asr_every_round: bool = False
+    track: bool = False
+    track_dir: str = "runs"
 
     def default_model(self) -> str:
         table = {

@@ -48,7 +48,7 @@ DEFENSE_GRID: Dict[str, Dict[str, Any]] = {
     "trimmed_mean": {"trim_ratio": 0.1},
     "median": {},
     "fltrust": {},
-    "dp_sgd": {"clip_norm": 1.0, "noise_multiplier": 0.005},
+    "dp_sgd": {"clip_norm": 1.0, "noise_multiplier": 0.1},
     "norm_bounding": {"max_norm": 50.0},
 }
 

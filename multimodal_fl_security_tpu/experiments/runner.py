@@ -149,6 +149,35 @@ class ExperimentRunner:
         eval_batches = M.reshape_eval_batches(test, config.eval_batch_size)
         eval_fn = M.make_eval_fn(model, config.eval_batch_size)
 
+        # Triggered-testset batches for ASR (built once when applicable).
+        triggered = (
+            attack.create_poisoned_testset(test) if config.attack_enabled
+            else None
+        )
+        trig_batches = (
+            M.reshape_eval_batches(triggered, config.eval_batch_size)
+            if triggered is not None else None
+        )
+
+        def asr_now(p) -> Optional[float]:
+            if trig_batches is None:
+                return None
+            _, preds = eval_fn(p, trig_batches)
+            mask = np.asarray(trig_batches["mask"]).reshape(-1) > 0
+            hits = np.asarray(preds).reshape(-1)[mask] == int(
+                getattr(attack, "target_class", 0)
+            )
+            return float(hits.mean()) if mask.any() else 0.0
+
+        tracker = None
+        if config.track:
+            from multimodal_fl_security_tpu.utils.tracking import (
+                ExperimentTracker,
+            )
+
+            tracker = ExperimentTracker(config.name, log_dir=config.track_dir,
+                                        config=config.to_dict())
+
         # ROUND LOOP ------------------------------------------------------
         round_accuracies: List[float] = []
         round_losses: List[float] = []
@@ -176,9 +205,19 @@ class ExperimentRunner:
             loss = float(totals["loss_sum"]) / count
             round_accuracies.append(acc)
             round_losses.append(loss)
+            round_asr = asr_now(params) if config.eval_asr_every_round else None
+            if tracker is not None:
+                tracker.log_round(
+                    r + 1, accuracy=acc, loss=loss, asr=round_asr,
+                    defense_metrics={
+                        k: v for k, v in round_metrics.items()
+                        if np.asarray(v).size == 1
+                    },
+                )
             logger.info(
-                "%s round %d/%d acc=%.4f loss=%.4f",
+                "%s round %d/%d acc=%.4f loss=%.4f%s",
                 config.name, r + 1, config.num_rounds, acc, loss,
+                f" asr={round_asr:.4f}" if round_asr is not None else "",
             )
             if (
                 config.checkpoint_dir
@@ -199,13 +238,8 @@ class ExperimentRunner:
         # ASR -------------------------------------------------------------
         asr: Optional[float] = None
         if config.attack_enabled:
-            triggered = attack.create_poisoned_testset(test)
-            if triggered is not None:
-                asr = M.compute_attack_success_rate(
-                    model, params, triggered,
-                    target_class=int(getattr(attack, "target_class", 0)),
-                    batch_size=config.eval_batch_size,
-                )
+            if trig_batches is not None:
+                asr = asr_now(params)
             elif attack.name == "label_flip":
                 asr = M.compute_label_flip_asr(
                     model, params, test,
@@ -213,6 +247,10 @@ class ExperimentRunner:
                     target_class=int(getattr(attack, "target_class", 1)),
                     batch_size=config.eval_batch_size,
                 )
+        if tracker is not None:
+            tracker.finish({"final_accuracy": round_accuracies[-1]
+                            if round_accuracies else 0.0,
+                            "attack_success_rate": asr})
 
         results = ExperimentResults(
             config=config,

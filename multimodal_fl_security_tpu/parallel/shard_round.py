@@ -1,0 +1,98 @@
+"""Explicit shard_map round: per-shard local training + ICI collectives.
+
+The default engine (rounds/engine.py) relies on jit + NamedSharding and
+lets XLA's SPMD partitioner derive the collectives. This module is the
+explicit formulation for multi-chip topologies: the client axis is split
+over the mesh with ``shard_map``, each shard trains its local clients, and
+aggregation happens with hand-placed collectives —
+
+  - weighted FedAvg: one ``psum`` of (sum_i w_i u_i, sum_i w_i) per shard
+    — a reduce, not a gather, so the wire carries exactly one [D] vector
+    per device (the minimum possible);
+  - Krum / coordinate rules: ``all_gather`` of the shard's [C/p, D] rows
+    over the mesh axis, then the same pure reduction everywhere.
+
+On a v5p slice these collectives ride ICI; across slices the same code
+works over a second ("dcn") mesh axis by summing over both axis names.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from multimodal_fl_security_tpu.core.pytrees import (
+    flatten_stacked,
+    flatten_tree,
+    unflatten_tree,
+)
+
+
+def make_sharded_round(
+    local_train_fn: Callable,
+    defense,
+    mesh: Mesh,
+    num_clients: int,
+    axis: str = "clients",
+    attack=None,
+) -> Callable:
+    """Build round(params, key, arrays, mask, counts, malicious) -> params.
+
+    ``arrays``/``mask``/``counts``/``malicious`` carry the stacked client
+    axis; it must divide evenly over the mesh axis.
+    """
+    n_shards = mesh.shape[axis]
+    assert num_clients % n_shards == 0, (num_clients, n_shards)
+    needs_matrix = defense.name not in ("fedavg", "none")
+
+    def shard_body(params, key, arrays, mask, counts, malicious):
+        # Per-shard client training: vmap over the local C/p clients.
+        shard_idx = jax.lax.axis_index(axis)
+        local_c = mask.shape[0]
+        ckeys = jax.vmap(
+            lambda i: jax.random.fold_in(key, shard_idx * local_c + i)
+        )(jnp.arange(local_c))
+        new_stacked, losses = jax.vmap(
+            local_train_fn, in_axes=(None, 0, 0, 0)
+        )(params, arrays, mask, ckeys)
+        updates = flatten_stacked(new_stacked)  # [C/p, D]
+        global_flat = flatten_tree(params)
+
+        if attack is not None:
+            akey = jax.random.fold_in(key, 0xA77)
+            updates = attack.poison_updates(
+                akey, updates, global_flat, malicious, num_clients
+            )
+
+        if not needs_matrix:
+            # Reduce, don't gather: psum of weighted partial sums.
+            w = counts.astype(jnp.float32)
+            part = jnp.einsum("c,cd->d", w, updates)
+            total_w = jnp.sum(w)
+            agg = jax.lax.psum(part, axis) / jnp.maximum(
+                jax.lax.psum(total_w, axis), 1e-12
+            )
+        else:
+            # Robust rules need the full [C, D] matrix: all_gather rows.
+            all_updates = jax.lax.all_gather(updates, axis, tiled=True)
+            all_counts = jax.lax.all_gather(counts, axis, tiled=True)
+            ctx = {"global": global_flat,
+                   "key": jax.random.fold_in(key, 0xDEF)}
+            agg, _ = defense.aggregate_with_aux(
+                all_updates, all_counts.astype(jnp.float32), ctx
+            )
+        new_params = unflatten_tree(params, agg)
+        return new_params, jnp.mean(losses)
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

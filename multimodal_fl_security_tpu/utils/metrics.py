@@ -128,6 +128,36 @@ def compute_label_flip_asr(model, params, clean_testset: Dataset,
                                        batch_size)
 
 
+def compute_model_poisoning_metrics(model, clean_params, poisoned_params,
+                                    dataset: Dataset,
+                                    batch_size: int = 512) -> Dict[str, float]:
+    """Accuracy drop + prediction disagreement between a clean and a
+    poisoned global model (reference: metrics.py:160-222)."""
+    batches = reshape_eval_batches(dataset, batch_size)
+    eval_fn = make_eval_fn(model, batch_size)
+    clean_totals, clean_preds = eval_fn(clean_params, batches)
+    pois_totals, pois_preds = eval_fn(poisoned_params, batches)
+    count = max(float(clean_totals["count"]), 1.0)
+    clean_acc = float(clean_totals["correct"]) / count
+    pois_acc = float(pois_totals["correct"]) / count
+    mask = np.asarray(batches["mask"]).reshape(-1) > 0
+    disagree = float(
+        (np.asarray(clean_preds).reshape(-1)[mask]
+         != np.asarray(pois_preds).reshape(-1)[mask]).mean()
+    )
+    return {
+        "clean_accuracy": clean_acc,
+        "poisoned_accuracy": pois_acc,
+        "accuracy_drop": clean_acc - pois_acc,
+        "prediction_disagreement": disagree,
+    }
+
+
+def compute_gradient_norm(grads_flat: jnp.ndarray) -> float:
+    """L2 norm of a flattened gradient/update (reference: metrics.py:429-446)."""
+    return float(jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(grads_flat)), 0.0)))
+
+
 def compute_param_divergence(flat_a: jnp.ndarray, flat_b: jnp.ndarray) -> float:
     """L2 distance between flattened parameter vectors (metrics.py:225-242)."""
     return float(jnp.sqrt(jnp.sum(jnp.square(flat_a - flat_b))))

@@ -1,0 +1,75 @@
+"""Runner observability: per-round ASR, tracker wiring, model-poisoning
+metrics, paper-matrix construction."""
+
+import json
+import os
+
+import numpy as np
+
+from multimodal_fl_security_tpu.experiments.config import ExperimentConfig
+from multimodal_fl_security_tpu.experiments.paper import build_paper_matrix
+from multimodal_fl_security_tpu.experiments.runner import run_simulation
+
+
+def test_per_round_asr_and_tracking(tmp_path):
+    cfg = ExperimentConfig(
+        name="obs_exp", dataset="synthetic", num_clients=4, num_rounds=2,
+        local_epochs=1, learning_rate=0.05, batch_size=16,
+        attack_enabled=True, attack_type="backdoor", malicious_clients=[0],
+        poison_ratio=0.5, target_class=0,
+        eval_asr_every_round=True, track=True, track_dir=str(tmp_path),
+        dataset_params={"num_train": 512, "num_test": 200},
+        eval_batch_size=100,
+    )
+    res = run_simulation(cfg)
+    assert res.attack_success_rate is not None
+    path = os.path.join(str(tmp_path), "obs_exp", "results.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        data = json.load(f)
+    assert len(data["history"]) == 2
+    assert "asr" in data["history"][0]
+    assert data["final_metrics"]["attack_success_rate"] == res.attack_success_rate
+
+
+def test_model_poisoning_metrics():
+    import jax.numpy as jnp
+
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.utils.metrics import (
+        compute_gradient_norm,
+        compute_model_poisoning_metrics,
+    )
+
+    ds = load_dataset("synthetic", "test", num_test=200)
+    model = create_model("simple_cnn", num_classes=10)
+    batch = {k: jnp.asarray(v[:8]) for k, v in ds.arrays.items()}
+    clean = init_model(model, batch, seed=0)["params"]
+    import jax
+
+    poisoned = jax.tree_util.tree_map(lambda p: p + 0.5, clean)
+    m = compute_model_poisoning_metrics(model, clean, poisoned, ds,
+                                        batch_size=100)
+    assert set(m) == {"clean_accuracy", "poisoned_accuracy", "accuracy_drop",
+                      "prediction_disagreement"}
+    assert 0.0 <= m["prediction_disagreement"] <= 1.0
+    # Identical params -> zero drop, zero disagreement.
+    m0 = compute_model_poisoning_metrics(model, clean, clean, ds,
+                                         batch_size=100)
+    assert m0["accuracy_drop"] == 0.0
+    assert m0["prediction_disagreement"] == 0.0
+
+    assert compute_gradient_norm(jnp.ones((4,))) == 2.0
+
+
+def test_paper_matrix_presets():
+    m = build_paper_matrix("mnist", full_distributions=True)
+    cells = m.cells()
+    # 4 attacks x 5 defenses x (iid + 2 alphas) x 5 seeds = 300
+    assert len(cells) == 300
+    assert {c.seed for c in cells} == {42, 123, 456, 789, 1024}
+    quick = build_paper_matrix("quick").cells()
+    assert len(quick) == 20  # 4 x 5 x iid x 1 seed
+    mr = [c for c in quick if c.attack_type == "model_replacement"][0]
+    assert mr.attack_enabled and mr.malicious_clients

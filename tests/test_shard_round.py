@@ -1,0 +1,66 @@
+"""shard_map round over the 8-virtual-device mesh: collective-explicit
+aggregation must match the single-device engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+from multimodal_fl_security_tpu.data.datasets import load_dataset
+from multimodal_fl_security_tpu.data.partition import partition_data
+from multimodal_fl_security_tpu.data.stacking import stack_clients
+from multimodal_fl_security_tpu.defenses import get_defense
+from multimodal_fl_security_tpu.models import create_model, init_model
+from multimodal_fl_security_tpu.parallel.mesh import make_mesh
+from multimodal_fl_security_tpu.parallel.shard_round import make_sharded_round
+from multimodal_fl_security_tpu.rounds.engine import (
+    RoundEngine,
+    TrainSpec,
+    make_local_train_fn,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    train = load_dataset("synthetic", "train", num_train=512,
+                         image_shape=(16, 16, 1))
+    idx = partition_data(train.labels, 8, "iid")
+    cd = stack_clients(train, idx, pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    params = init_model(model, {k: v[0, :16] for k, v in cd.arrays.items()},
+                        seed=0)["params"]
+    spec = TrainSpec(learning_rate=0.05, local_epochs=1, batch_size=16)
+    lt = make_local_train_fn(model, spec, cd.max_samples)
+    return train, cd, model, params, spec, lt
+
+
+@pytest.mark.parametrize("defense_name,cfg", [
+    ("fedavg", {}),
+    ("krum", {"num_malicious": 1, "multi_k": 1}),
+    ("median", {}),
+])
+def test_sharded_round_matches_engine(setup, defense_name, cfg):
+    train, cd, model, params, spec, lt = setup
+    mesh = make_mesh(8)
+    defense = get_defense(defense_name, cfg)
+    round_fn = make_sharded_round(lt, defense, mesh, num_clients=8)
+
+    arrays = {k: jnp.asarray(v) for k, v in cd.arrays.items()}
+    mask = jnp.asarray(cd.mask)
+    counts = jnp.asarray(cd.counts.astype(np.float32))
+    malicious = jnp.zeros((8,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    new_sharded, loss = round_fn(params, key, arrays, mask, counts, malicious)
+
+    engine = RoundEngine(model, cd, spec, defense=get_defense(defense_name, cfg))
+    new_engine, _ = engine.run_round(params, key)
+
+    # Same client keys (engine folds key by global client index, the sharded
+    # path reconstructs the same indices) -> identical training -> the
+    # aggregates must agree to float tolerance.
+    a = np.asarray(flatten_tree(new_sharded))
+    b = np.asarray(flatten_tree(new_engine))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    assert np.isfinite(float(loss))
