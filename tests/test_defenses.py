@@ -230,3 +230,18 @@ def test_registry_names_match_reference():
                  "median", "geometric_median", "fltrust", "dp_sgd",
                  "gradient_clipping", "norm_bounding"):
         assert name in DEFENSES, name
+
+
+def test_rdp_accountant_sane():
+    from multimodal_fl_security_tpu.utils.privacy import RDPAccountant
+
+    acc = RDPAccountant(noise_multiplier=1.0)
+    acc.step(1)
+    e1 = acc.epsilon(1e-5)
+    acc.step(99)
+    e100 = acc.epsilon(1e-5)
+    # Composition grows sublinearly in epsilon (RDP), and more noise helps.
+    assert 0 < e1 < e100 < 100 * e1
+    tighter = RDPAccountant(noise_multiplier=4.0)
+    tighter.step(100)
+    assert tighter.epsilon(1e-5) < e100
