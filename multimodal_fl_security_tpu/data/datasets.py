@@ -141,11 +141,13 @@ def _synthetic_multimodal(split: str = "train", data_dir=None,
 
 @DATASETS.register("synthetic_avmnist")
 def _synthetic_avmnist(split: str = "train", data_dir=None, num_train: int = 2000,
-                       num_test: int = 500, seed: int = 0, **_) -> Dataset:
+                       num_test: int = 500, seed: int = 0,
+                       image_shape=(28, 28, 1), **_) -> Dataset:
     """Image + audio (mel-spectrogram-shaped [F=20, T=32, 1]) fusion task."""
     n = num_train if split == "train" else num_test
     s = seed + (0 if split == "train" else 1)
-    images, labels = _synthetic_images(n, (28, 28, 1), 10, seed=seed, split_seed=s)
+    images, labels = _synthetic_images(n, tuple(image_shape), 10, seed=seed,
+                                       split_seed=s)
     proto_rng = np.random.RandomState(seed + 13)
     audio_protos = proto_rng.rand(10, 20, 32, 1).astype(np.float32)
     rng = np.random.RandomState(s + 17)

@@ -58,8 +58,13 @@ class ExperimentRunner:
         test = load_dataset(config.dataset, "test", config.data_dir, **ds_kwargs)
 
         # L3: attack + defense -------------------------------------------
+        attack_cfg = config.attack_config()
+        if "image" in train.arrays:
+            # Trigger placement needs the true image geometry; the reference
+            # defaulted to 28x28 and relied on MNIST (backdoor.py:163).
+            attack_cfg.setdefault("image_size", train.arrays["image"].shape[1:3])
         attack = (
-            get_attack(config.attack_type, config.attack_config())
+            get_attack(config.attack_type, attack_cfg)
             if config.attack_enabled
             else get_attack("none")
         )

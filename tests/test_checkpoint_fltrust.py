@@ -1,34 +1,29 @@
-"""Checkpoint/resume + FLTrust end-to-end tests."""
+"""Checkpoint/resume + FLTrust end-to-end tests (tiny shared shapes)."""
 
 import dataclasses
 
 import numpy as np
-import pytest
 
-from multimodal_fl_security_tpu.experiments.config import ExperimentConfig
+from helpers import tiny_config
 from multimodal_fl_security_tpu.experiments.runner import run_simulation
 
 
 def test_checkpoint_save_and_resume(tmp_path):
-    base = ExperimentConfig(
-        name="ckpt_exp", dataset="synthetic", num_clients=4, num_rounds=2,
-        local_epochs=1, learning_rate=0.05, batch_size=16,
+    base = tiny_config(
+        "ckpt_exp", num_rounds=2,
         checkpoint_dir=str(tmp_path), checkpoint_every=1,
-        dataset_params={"num_train": 512, "num_test": 200},
-        eval_batch_size=100,
     )
     first = run_simulation(base)
     assert len(first.round_accuracies) == 2
 
-    # Extend to 4 rounds with resume: rounds 1-2 come from the checkpoint,
-    # only rounds 3-4 run. Resumed curve must preserve the prefix.
-    extended = dataclasses.replace(base, num_rounds=4,
+    # Extend to 3 rounds with resume: rounds 1-2 come from the checkpoint,
+    # only round 3 runs. Resumed curve must preserve the prefix.
+    extended = dataclasses.replace(base, num_rounds=3,
                                    resume_from_checkpoint=True)
     second = run_simulation(extended)
-    assert len(second.round_accuracies) == 4
+    assert len(second.round_accuracies) == 3
     np.testing.assert_allclose(second.round_accuracies[:2],
                                first.round_accuracies, rtol=1e-6)
-    # Training continued (more rounds -> at least as good on this easy task).
     assert second.final_accuracy >= first.final_accuracy - 0.05
 
 
@@ -57,17 +52,13 @@ def test_checkpoint_roundtrip_params(tmp_path):
 def test_fltrust_end_to_end():
     """FLTrust with its root-dataset server training inside the round —
     the path that CRASHES in the reference simulation (SURVEY.md §2.9-3)."""
-    cfg = ExperimentConfig(
-        name="fltrust_e2e", dataset="synthetic", num_clients=4, num_rounds=2,
-        local_epochs=1, learning_rate=0.05, batch_size=16,
+    res = run_simulation(tiny_config(
+        "fltrust_e2e", num_rounds=2,
         attack_enabled=True, attack_type="scaling",
         malicious_clients=[0], attack_params={"scale": 50.0},
         defense_enabled=True, defense_type="fltrust",
         defense_params={"root_dataset_size": 64},
-        dataset_params={"num_train": 512, "num_test": 200},
-        eval_batch_size=100,
-    )
-    res = run_simulation(cfg)
+    ))
     assert len(res.round_accuracies) == 2
     assert np.isfinite(res.final_loss)
     # FLTrust should keep the model sane despite the 50x scaling attacker

@@ -12,14 +12,14 @@ from multimodal_fl_security_tpu.experiments.runner import run_simulation
 
 
 def test_per_round_asr_and_tracking(tmp_path):
-    cfg = ExperimentConfig(
-        name="obs_exp", dataset="synthetic", num_clients=4, num_rounds=2,
-        local_epochs=1, learning_rate=0.05, batch_size=16,
+    from helpers import tiny_config
+
+    cfg = tiny_config(
+        "obs_exp", num_rounds=2,
         attack_enabled=True, attack_type="backdoor", malicious_clients=[0],
         poison_ratio=0.5, target_class=0,
+        attack_params={"image_size": (16, 16)},
         eval_asr_every_round=True, track=True, track_dir=str(tmp_path),
-        dataset_params={"num_train": 512, "num_test": 200},
-        eval_batch_size=100,
     )
     res = run_simulation(cfg)
     assert res.attack_success_rate is not None
