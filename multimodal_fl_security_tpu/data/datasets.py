@@ -211,6 +211,28 @@ def _synthetic_cremad(split: str = "train", data_dir=None, num_train: int = 1200
     )
 
 
+@DATASETS.register("digits")
+def _sklearn_digits(split: str = "train", data_dir=None, seed: int = 0,
+                    **_) -> Dataset:
+    """Real handwritten digits (sklearn's bundled 8x8 UCI set, 1797 samples)
+    — the only real image dataset available without network egress. Split
+    80/20 deterministically; pixel range 0..16 scaled to 0..1 and normalized
+    with its own mean/std."""
+    from sklearn.datasets import load_digits
+
+    digits = load_digits()
+    x = (digits.images.astype(np.float32) / 16.0)[..., None]
+    y = digits.target.astype(np.int32)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(y))
+    cut = int(0.8 * len(y))
+    idx = order[:cut] if split == "train" else order[cut:]
+    mean, std = float(x.mean()), float(x.std() + 1e-8)
+    x = (x - mean) / std
+    return Dataset({"image": x[idx], "label": y[idx]}, 10, name="digits",
+                   meta={"normalized": True})
+
+
 # ---------------------------------------------------------------------------
 # MNIST from local IDX files (reference: src/utils/data_loader.py:24-50)
 # ---------------------------------------------------------------------------

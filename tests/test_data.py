@@ -102,3 +102,21 @@ def test_synthetic_train_test_share_structure():
         same_gap = np.abs(mtr - mte).mean()
         cross_gap = np.abs(mtr - other).mean()
         assert same_gap < 0.5 * cross_gap, (same_gap, cross_gap)
+
+
+def test_sklearn_digits_real_dataset():
+    """Real handwritten digits (offline): loadable, split disjointly,
+    learnable by the FL loop."""
+    tr = load_dataset("digits", "train")
+    te = load_dataset("digits", "test")
+    assert tr.num_classes == 10
+    assert len(tr) + len(te) == 1797
+    assert tr.arrays["image"].shape[1:] == (8, 8, 1)
+
+    from helpers import tiny_config
+    from multimodal_fl_security_tpu.experiments.runner import run_simulation
+
+    cfg = tiny_config("digits_fl", dataset="digits", num_rounds=3,
+                      learning_rate=0.05, dataset_params={})
+    res = run_simulation(cfg)
+    assert res.final_accuracy > 0.5, res.round_accuracies
