@@ -27,6 +27,7 @@ class ExperimentConfig:
     dataset: str = "synthetic"
     model: Optional[str] = None  # None = dataset default
     num_clients: int = 5
+    clients_per_round: Optional[int] = None  # None = all clients every round
     num_rounds: int = 5
     local_epochs: int = 2
     batch_size: int = 32

@@ -148,6 +148,7 @@ class ExperimentRunner:
             malicious_clients=malicious,
             root_data=root_data,
             mesh=mesh,
+            clients_per_round=config.clients_per_round,
         )
 
         # Evaluation programs (built once; jit caches inside).

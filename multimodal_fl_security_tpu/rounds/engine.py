@@ -145,6 +145,7 @@ class RoundEngine:
         malicious_clients: Optional[list] = None,
         root_data: Optional[Dict[str, np.ndarray]] = None,
         mesh=None,
+        clients_per_round: Optional[int] = None,
     ):
         from multimodal_fl_security_tpu.attacks.base import NoAttack
         from multimodal_fl_security_tpu.defenses.base import NoDefense
@@ -155,6 +156,14 @@ class RoundEngine:
         self.defense = defense or NoDefense()
         self.num_clients = client_data.num_clients
         self.mesh = mesh
+        # Client sampling (the reference trains every client each round in
+        # simulation; its Flower path samples via fraction_fit). None or
+        # >= num_clients means full participation.
+        self.clients_per_round = (
+            None
+            if not clients_per_round or clients_per_round >= self.num_clients
+            else int(clients_per_round)
+        )
 
         mal = np.zeros((self.num_clients,), np.float32)
         for i in malicious_clients or []:
@@ -216,11 +225,24 @@ class RoundEngine:
         attack, defense = self.attack, self.defense
         num_clients = self.num_clients
 
+        k_sample = self.clients_per_round
+
         def round_fn(params, key, arrays, mask, counts, malicious_mask):
             global_flat = flatten_tree(params)
-            ckeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-                jnp.arange(num_clients)
-            )
+            if k_sample is not None:
+                # Sample a participant subset (without replacement) and
+                # gather their rows; shapes stay static at k_sample.
+                sample_idx = jax.random.permutation(
+                    jax.random.fold_in(key, 0x5A3), num_clients
+                )[:k_sample]
+                arrays = {k: v[sample_idx] for k, v in arrays.items()}
+                mask = mask[sample_idx]
+                counts = counts[sample_idx]
+                malicious_mask = malicious_mask[sample_idx]
+                client_ids = sample_idx
+            else:
+                client_ids = jnp.arange(num_clients)
+            ckeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(client_ids)
             new_stacked, client_losses = jax.vmap(
                 self._local_train, in_axes=(None, 0, 0, 0)
             )(params, arrays, mask, ckeys)
@@ -231,7 +253,8 @@ class RoundEngine:
                 jax.random.fold_in(key, 0x5EC), 3
             )
             updates = attack.poison_updates(
-                key_attack, updates, global_flat, malicious_mask, num_clients
+                key_attack, updates, global_flat, malicious_mask,
+                k_sample or num_clients,
             )
 
             ctx: Dict[str, Any] = {"global": global_flat, "key": key_defense}

@@ -51,3 +51,15 @@ def test_results_json_schema_matches_reference():
         assert key in d
     assert isinstance(d["round_accuracies"], list)
     assert np.isfinite(d["final_loss"])
+
+
+def test_client_sampling_per_round():
+    """clients_per_round subsamples participants each round (the Flower
+    fraction_fit analog the reference simulation lacked)."""
+    res = run_simulation(tiny_config(
+        "smoke_sampled", num_clients=8, clients_per_round=3, num_rounds=3,
+        dataset_params={"num_train": 2048},
+    ))
+    assert len(res.round_accuracies) == 3
+    # Still learns with 3/8 participation on the easy task.
+    assert res.final_accuracy > 0.4, res.round_accuracies
