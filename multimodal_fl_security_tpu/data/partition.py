@@ -94,6 +94,12 @@ def _shard(labels: np.ndarray, num_clients: int, shards_per_client: int,
     return out
 
 
+def get_class_distribution(labels: np.ndarray, indices: np.ndarray,
+                           num_classes: int) -> np.ndarray:
+    """Class histogram of one client shard (reference: data_loader.py:181-197)."""
+    return np.bincount(labels[indices], minlength=num_classes)
+
+
 def analyze_partition(labels: np.ndarray,
                       client_indices: List[np.ndarray],
                       num_classes: int) -> Dict:

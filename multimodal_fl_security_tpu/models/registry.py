@@ -39,3 +39,24 @@ def param_count(variables) -> int:
     return sum(
         int(jnp.size(p)) for p in jax.tree_util.tree_leaves(variables["params"])
     )
+
+
+def get_weights(params) -> list:
+    """Parameters as a list of numpy arrays in pytree order — the
+    reference's weight-exchange format (reference: simple_cnn.py:78-87,
+    fl_client.py:62-74)."""
+    import numpy as np
+
+    return [np.asarray(p) for p in jax.tree_util.tree_leaves(params)]
+
+
+def set_weights(params, weights: list):
+    """Inverse of :func:`get_weights`: rebuild the pytree from the list."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    if len(leaves) != len(weights):
+        raise ValueError(f"expected {len(leaves)} arrays, got {len(weights)}")
+    new_leaves = [
+        jnp.asarray(w, dtype=leaf.dtype).reshape(leaf.shape)
+        for leaf, w in zip(leaves, weights)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

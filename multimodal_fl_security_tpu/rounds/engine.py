@@ -103,6 +103,9 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int) -> Callable:
 
         def epoch_fn(carry, ekey):
             params, opt_state = carry
+            # Per-step row gather from the resident client shard: measured
+            # identical to a materialized epoch shuffle on v5e, and it does
+            # not duplicate the shard in HBM (matters at CUB-200 scale).
             perm = jax.random.permutation(ekey, n_samples).reshape(steps, bsz)
             skeys = jax.random.split(jax.random.fold_in(ekey, 7), steps)
 

@@ -91,3 +91,22 @@ def test_dropout_only_active_in_train_mode():
     t2 = model.apply(vs, batch, train=True,
                      rngs={"dropout": jax.random.PRNGKey(1)})
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_get_set_weights_roundtrip():
+    """numpy weight-exchange round trip (reference: test_models.py:40-55)."""
+    from multimodal_fl_security_tpu.models.registry import (
+        get_weights,
+        set_weights,
+    )
+
+    model = create_model("simple_cnn", num_classes=10)
+    batch = img_batch()
+    params = init_model(model, batch)["params"]
+    weights = get_weights(params)
+    assert all(hasattr(w, "shape") for w in weights)
+    perturbed = [w + 1.0 for w in weights]
+    restored = set_weights(params, perturbed)
+    out = get_weights(restored)
+    for a, b in zip(out, perturbed):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
