@@ -23,17 +23,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(num_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("clients",),
-              devices=None) -> Mesh:
-    """1-D (or reshaped n-D) mesh over the available devices."""
+              devices=None,
+              shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """Mesh over the available devices.
+
+    Default is 1-D over ``clients``. Pass ``shape`` for multi-axis layouts —
+    e.g. ``make_mesh(axis_names=("dcn", "clients"), shape=(2, 4))`` models a
+    two-slice topology: collectives over ``clients`` ride ICI within a
+    slice, those over ``dcn`` cross slices (slowest axis first, matching
+    how multislice device orders enumerate)."""
     devices = list(devices if devices is not None else jax.devices())
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    if len(axis_names) == 1:
-        shape: Tuple[int, ...] = (n,)
-    else:
-        # Put everything on the first axis by default.
-        shape = (n,) + (1,) * (len(axis_names) - 1)
+    if shape is None:
+        if len(axis_names) == 1:
+            shape = (n,)
+        else:
+            # Put everything on the first axis by default.
+            shape = (n,) + (1,) * (len(axis_names) - 1)
     dev_array = np.array(devices).reshape(shape)
     return Mesh(dev_array, axis_names)
 

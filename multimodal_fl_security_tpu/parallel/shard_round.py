@@ -37,21 +37,29 @@ def make_sharded_round(
     defense,
     mesh: Mesh,
     num_clients: int,
-    axis: str = "clients",
+    axis="clients",
     attack=None,
 ) -> Callable:
     """Build round(params, key, arrays, mask, counts, malicious) -> params.
 
     ``arrays``/``mask``/``counts``/``malicious`` carry the stacked client
-    axis; it must divide evenly over the mesh axis.
+    axis; it must divide evenly over the mesh axis (or the product of mesh
+    axes — pass ``axis=("dcn", "clients")`` for a multi-slice layout, where
+    the reductions then span DCN and ICI).
     """
-    n_shards = mesh.shape[axis]
+    axes: Tuple[str, ...] = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
     assert num_clients % n_shards == 0, (num_clients, n_shards)
     needs_matrix = defense.name not in ("fedavg", "none")
 
     def shard_body(params, key, arrays, mask, counts, malicious):
         # Per-shard client training: vmap over the local C/p clients.
-        shard_idx = jax.lax.axis_index(axis)
+        # Flat shard index across all client axes (major -> minor).
+        shard_idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            shard_idx = shard_idx * mesh.shape[a] + jax.lax.axis_index(a)
         local_c = mask.shape[0]
         ckeys = jax.vmap(
             lambda i: jax.random.fold_in(key, shard_idx * local_c + i)
@@ -73,25 +81,28 @@ def make_sharded_round(
             w = counts.astype(jnp.float32)
             part = jnp.einsum("c,cd->d", w, updates)
             total_w = jnp.sum(w)
-            agg = jax.lax.psum(part, axis) / jnp.maximum(
-                jax.lax.psum(total_w, axis), 1e-12
+            agg = jax.lax.psum(part, axes) / jnp.maximum(
+                jax.lax.psum(total_w, axes), 1e-12
             )
         else:
             # Robust rules need the full [C, D] matrix: all_gather rows.
-            all_updates = jax.lax.all_gather(updates, axis, tiled=True)
-            all_counts = jax.lax.all_gather(counts, axis, tiled=True)
+            all_updates = jax.lax.all_gather(updates, axes, tiled=True)
+            all_counts = jax.lax.all_gather(counts, axes, tiled=True)
             ctx = {"global": global_flat,
                    "key": jax.random.fold_in(key, 0xDEF)}
             agg, _ = defense.aggregate_with_aux(
                 all_updates, all_counts.astype(jnp.float32), ctx
             )
         new_params = unflatten_tree(params, agg)
-        return new_params, jnp.mean(losses)
+        # The aggregate is replicated by construction; the mean loss must be
+        # explicitly reduced to be a valid replicated output.
+        return new_params, jax.lax.pmean(jnp.mean(losses), axes)
 
+    spec = P(axes if len(axes) > 1 else axes[0])
     sharded = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), spec, spec, spec, spec),
         out_specs=(P(), P()),
         check_vma=False,
     )

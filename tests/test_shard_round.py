@@ -64,3 +64,29 @@ def test_sharded_round_matches_engine(setup, defense_name, cfg):
     b = np.asarray(flatten_tree(new_engine))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
     assert np.isfinite(float(loss))
+
+
+def test_two_level_mesh_dcn_by_ici(setup):
+    """2x4 (dcn x clients) mesh: reductions span both axes and match the
+    flat 8-device result."""
+    train, cd, model, params, spec, lt = setup
+    mesh2 = make_mesh(8, axis_names=("dcn", "clients"), shape=(2, 4))
+    defense = get_defense("median")
+    round_fn = make_sharded_round(lt, defense, mesh2, num_clients=8,
+                                  axis=("dcn", "clients"))
+    arrays = {k: jnp.asarray(v) for k, v in cd.arrays.items()}
+    mask = jnp.asarray(cd.mask)
+    counts = jnp.asarray(cd.counts.astype(np.float32))
+    malicious = jnp.zeros((8,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    new2, loss2 = round_fn(params, key, arrays, mask, counts, malicious)
+
+    mesh1 = make_mesh(8)
+    round1 = make_sharded_round(lt, get_defense("median"), mesh1,
+                                num_clients=8)
+    new1, loss1 = round1(params, key, arrays, mask, counts, malicious)
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(new2)), np.asarray(flatten_tree(new1)),
+        rtol=2e-4, atol=2e-5,
+    )
+    assert abs(float(loss2) - float(loss1)) < 1e-4
