@@ -72,38 +72,44 @@ def _gram_kernel(u_ref, mean_ref, out_ref):
 
 def gram_pallas(updates: jnp.ndarray, block_d: Optional[int] = None,
                 interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Centered Gram matrix [C, C] of updates [C, D], one HBM pass over U."""
+    """Centered Gram matrix [C, C] of updates [C, D], one HBM pass over U.
+
+    No copies of U are made: whole D-blocks stream through the kernel from
+    the original buffer (Mosaic masks the non-8-multiple C sublane), and a
+    sub-block D remainder is accumulated with a fused jnp tail — so the
+    peak HBM footprint is the input itself plus [C, C].
+    """
     if interpret is None:
         interpret = not _on_tpu()
     c, d = updates.shape
-    c_pad = max(_round_up(c, 8), 8)
-    block_d = _auto_block_d(c_pad, block_d)
-    d_pad = _round_up(d, block_d)
+    block_d = _auto_block_d(max(_round_up(c, 8), 8), block_d)
     mean = jnp.mean(updates, axis=0, keepdims=True)  # [1, D]
-    u = jnp.pad(updates, ((0, c_pad - c), (0, d_pad - d)))
-    # Padded rows must equal the (padded) mean so they contribute zeros.
-    m = jnp.pad(mean, ((0, 0), (0, d_pad - d)))
-    nblk = d_pad // block_d
+    nblk = d // block_d
 
-    out = pl.pallas_call(
+    if nblk == 0:
+        centered = updates - mean
+        return jnp.dot(centered, centered.T,
+                       preferred_element_type=jnp.float32)
+
+    gram = pl.pallas_call(
         _gram_kernel,
         grid=(nblk,),
         in_specs=[
-            pl.BlockSpec((c_pad, block_d), lambda i: (0, i),
+            pl.BlockSpec((c, block_d), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_d), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c_pad, c_pad), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((c, c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c_pad, c_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, c), jnp.float32),
         interpret=interpret,
-    )(u, m)
-    gram = out[:c, :c]
-    # Padded rows were zero, not mean-centered zeros — but they only live in
-    # rows/cols >= c, which are sliced away; within [:c,:c] the only padding
-    # effect is the zero tail of D, which contributes (0-0)=0 after the
-    # mean pad. Exact by construction.
+    )(updates, mean)
+    rem = d - nblk * block_d
+    if rem:
+        tail = updates[:, nblk * block_d :] - mean[:, nblk * block_d :]
+        gram = gram + jnp.dot(tail, tail.T,
+                              preferred_element_type=jnp.float32)
     return gram
 
 
