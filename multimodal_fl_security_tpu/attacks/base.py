@@ -10,7 +10,7 @@ live inside the jitted round.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
-import jax.numpy as jnp
-
 from multimodal_fl_security_tpu.defenses.base import DEFENSES, BaseDefense
 from multimodal_fl_security_tpu.ops.reductions import (
     coordinate_median,

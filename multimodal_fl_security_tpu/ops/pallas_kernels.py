@@ -20,7 +20,6 @@ validate the kernel math on CPU.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

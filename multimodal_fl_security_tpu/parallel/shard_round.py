@@ -19,7 +19,7 @@ works over a second ("dcn") mesh axis by summing over both axis names.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

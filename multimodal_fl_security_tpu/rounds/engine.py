@@ -27,7 +27,6 @@ Local-training parity choices (vs reference run_simulation:193-240):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional, Tuple
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import logging
 import socket
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

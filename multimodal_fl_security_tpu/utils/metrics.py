@@ -18,7 +18,6 @@ padding from every statistic.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional
 
 import jax

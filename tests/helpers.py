@@ -5,8 +5,6 @@ samples, 4 clients, batch 16) so round-program compiles are small and the
 persistent XLA cache hits across tests and runs.
 """
 
-import dataclasses
-
 from multimodal_fl_security_tpu.experiments.config import ExperimentConfig
 
 TINY_IMAGE = {

@@ -4,13 +4,8 @@ config, EDA — the reference's L5/L6 behaviors (SURVEY.md §2.7)."""
 import json
 import os
 
-import numpy as np
 import pytest
 
-from multimodal_fl_security_tpu.experiments.config import (
-    ExperimentConfig,
-    ExperimentResults,
-)
 from multimodal_fl_security_tpu.experiments.emitters import (
     latex_table,
     markdown_table,

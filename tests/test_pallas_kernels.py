@@ -9,10 +9,7 @@ from multimodal_fl_security_tpu.ops.pallas_kernels import (
     pairwise_sq_dists_pallas,
     sorted_reduce_pallas,
 )
-from multimodal_fl_security_tpu.ops.reductions import (
-    coordinate_median,
-    trimmed_mean,
-)
+from multimodal_fl_security_tpu.ops.reductions import coordinate_median
 
 
 @pytest.fixture

@@ -6,7 +6,6 @@ import os
 
 import numpy as np
 
-from multimodal_fl_security_tpu.experiments.config import ExperimentConfig
 from multimodal_fl_security_tpu.experiments.paper import build_paper_matrix
 from multimodal_fl_security_tpu.experiments.runner import run_simulation
 
