@@ -40,12 +40,18 @@ class FLServer:
         defense_config: Optional[Dict[str, Any]] = None,
         host: str = "0.0.0.0",
         port: int = 8080,
+        fit_timeout: float = 600.0,
     ):
         self.params = np.asarray(initial_params, np.float32)
         self.num_clients = num_clients
         self.num_rounds = num_rounds
         self.defense = get_defense(defense_type, defense_config or {})
         self.host, self.port = host, port
+        #: per-round deadline for a client's fit reply; a client that dies or
+        #: straggles past it is dropped from the round (and, on a dead
+        #: socket, from the experiment). The reference accepted Flower's
+        #: failures list but ignored it (reference: robust_server.py:75-79).
+        self.fit_timeout = fit_timeout
         self.history: List[Dict[str, Any]] = []
         self.flagged_clients: List[int] = []
         self._round_key = jax.random.PRNGKey(0)
@@ -81,15 +87,30 @@ class FLServer:
 
     # ------------------------------------------------------------------
     def _run_round(self, round_idx: int, conns: List[socket.socket]) -> None:
+        alive = []
         for conn in conns:
-            send_msg(conn, {"type": "fit", "round": round_idx,
-                            "params": self.params})
+            try:
+                send_msg(conn, {"type": "fit", "round": round_idx,
+                                "params": self.params})
+                alive.append(conn)
+            except OSError:
+                logger.warning("round %d: client socket dead at send, "
+                               "dropping", round_idx)
+        dead: List[socket.socket] = [c for c in conns if c not in alive]
 
         updates, weights, metrics = [], [], []
         lock = threading.Lock()
 
         def gather(conn):
-            reply = recv_msg(conn)
+            try:
+                conn.settimeout(self.fit_timeout)
+                reply = recv_msg(conn)
+            except (OSError, ConnectionError, ValueError) as e:
+                logger.warning("round %d: dropping client (%s)", round_idx,
+                               type(e).__name__)
+                with lock:
+                    dead.append(conn)
+                return
             with lock:
                 updates.append(np.asarray(reply["params"], np.float32))
                 weights.append(float(reply.get("num_examples", 1)))
@@ -97,11 +118,24 @@ class FLServer:
                 m.setdefault("client_id", reply.get("client_id"))
                 metrics.append(m)
 
-        threads = [threading.Thread(target=gather, args=(c,)) for c in conns]
+        threads = [threading.Thread(target=gather, args=(c,)) for c in alive]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+
+        # Permanently forget dead sockets so later rounds don't wait on them.
+        for c in dead:
+            if c in conns:
+                conns.remove(c)
+            try:
+                c.close()
+            except OSError:
+                pass
+        if not updates:
+            raise RuntimeError(
+                f"round {round_idx}: every client failed before replying"
+            )
 
         # Flag self-reported attackers (reference: robust_server.py:84-89).
         for i, m in enumerate(metrics):
@@ -134,6 +168,8 @@ class FLServer:
             "round": round_idx,
             "mean_client_loss": float(np.mean(losses)) if losses else None,
             "num_rejected": num_rejected,
+            "num_failures": len(dead),
+            "num_participants": len(updates),
             "defense": self.defense.name,
         })
         logger.info("round %d aggregated (%s, rejected=%d)",

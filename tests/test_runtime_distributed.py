@@ -146,3 +146,67 @@ def test_distributed_fl_round_over_tcp():
     stats = evaluate_model(model, final_params, test)
     assert np.isfinite(stats["loss"])
     assert stats["accuracy"] > 0.08
+
+
+@pytest.mark.slow
+def test_server_survives_client_death():
+    """A client that dies mid-experiment is dropped; the round completes
+    with the survivors (the reference ignored Flower's failures list)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.runtime.client import FLClient
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+    from multimodal_fl_security_tpu.runtime.transport import recv_msg, send_msg
+
+    config = {
+        "dataset": "synthetic",
+        "dataset_params": {"num_train": 512, "num_test": 200},
+        "num_clients": 3, "batch_size": 16, "local_epochs": 1,
+        "learning_rate": 0.05, "partition": "iid",
+    }
+    ds = load_dataset("synthetic", "train", **config["dataset_params"])
+    model = create_model("simple_cnn", num_classes=10)
+    template = init_model(model, {k: v[:16] for k, v in ds.arrays.items()},
+                          seed=0)["params"]
+    flat0 = np.asarray(flatten_tree(template), np.float32)
+
+    import socket as sk
+
+    s = sk.socket(); s.bind(("127.0.0.1", 0)); port = s.getsockname()[1]
+    s.close()
+    server = FLServer(flat0, num_clients=3, num_rounds=2,
+                      host="127.0.0.1", port=port, fit_timeout=120.0)
+    result = {}
+    st = threading.Thread(target=lambda: result.update(
+        final=server.serve()))
+    st.start()
+    time.sleep(0.3)
+
+    # Two honest clients, pre-warmed sequentially.
+    clients = [FLClient(i, config) for i in range(2)]
+    for c in clients:
+        c.fit(flat0, 0)
+    threads = [threading.Thread(target=c.run, kwargs={"port": port})
+               for c in clients]
+    for t in threads:
+        t.start()
+
+    # Third "client" connects, then dies before ever replying to fit.
+    ghost = socket.create_connection(("127.0.0.1", port))
+    send_msg(ghost, {"type": "hello", "client_id": 2})
+    recv_msg(ghost)  # receive the round-1 fit request...
+    ghost.close()    # ...and die.
+
+    st.join(timeout=240)
+    for t in threads:
+        t.join(timeout=60)
+    assert "final" in result, "server hung on the dead client"
+    assert len(server.history) == 2
+    assert server.history[0]["num_failures"] == 1
+    assert server.history[0]["num_participants"] == 2
+    assert server.history[1]["num_participants"] == 2
