@@ -28,6 +28,7 @@ Local-training parity choices (vs reference run_simulation:193-240):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -282,6 +283,29 @@ class RoundEngine:
         return self._round_fn(
             params, key, self.arrays, self.mask, self.counts, self.malicious_mask
         )
+
+    def run_rounds(self, params, key, num_rounds: int
+                   ) -> Tuple[Any, Dict[str, jnp.ndarray]]:
+        """Run ``num_rounds`` rounds as ONE device program (scan over rounds).
+
+        The per-round host dispatch of :meth:`run_round` disappears; params
+        and every intermediate live in HBM for the whole horizon. Metrics
+        come back stacked with a leading round axis.
+        """
+        round_fn = self._build_round_fn()
+
+        @partial(jax.jit, static_argnames=("n",))
+        def multi(params, key, arrays, mask, counts, malicious, n):
+            def body(p, r):
+                rkey = jax.random.fold_in(key, r)
+                new_p, metrics = round_fn(p, rkey, arrays, mask, counts,
+                                          malicious)
+                return new_p, metrics
+
+            return jax.lax.scan(body, params, jnp.arange(n))
+
+        return multi(params, key, self.arrays, self.mask, self.counts,
+                     self.malicious_mask, n=num_rounds)
 
     def detect_malicious(self, params, key):
         """Host-callable detection pass (reference: base_defense.py:49-64)."""

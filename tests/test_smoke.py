@@ -63,3 +63,38 @@ def test_client_sampling_per_round():
     assert len(res.round_accuracies) == 3
     # Still learns with 3/8 participation on the easy task.
     assert res.final_accuracy > 0.4, res.round_accuracies
+
+
+def test_multi_round_scan_matches_sequential():
+    """run_rounds (lax.scan over rounds) reproduces sequential run_round."""
+    import jax
+    import numpy as np
+
+    from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.data.partition import partition_data
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    train = load_dataset("synthetic", "train", num_train=256,
+                         image_shape=(16, 16, 1))
+    cd = stack_clients(train, partition_data(train.labels, 4, "iid"),
+                       pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    params = init_model(model, {k: v[0, :16] for k, v in cd.arrays.items()},
+                        seed=0)["params"]
+    eng = RoundEngine(model, cd,
+                      TrainSpec(learning_rate=0.05, local_epochs=1,
+                                batch_size=16))
+    key = jax.random.PRNGKey(3)
+    p_scan, metrics = eng.run_rounds(params, key, 3)
+    assert metrics["client_loss_mean"].shape == (3,)
+
+    p_seq = params
+    for r in range(3):
+        p_seq, _ = eng.run_round(p_seq, jax.random.fold_in(key, r))
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(p_scan)), np.asarray(flatten_tree(p_seq)),
+        rtol=2e-4, atol=2e-5,
+    )
