@@ -39,6 +39,48 @@ def random_flip(key: jnp.ndarray, images: jnp.ndarray, p: float = 0.5):
     return jnp.where(flips[:, None, None, None], images[:, :, ::-1, :], images)
 
 
+def random_shift(key: jnp.ndarray, images: jnp.ndarray, max_shift: int = 2):
+    """Per-sample random translation within +/- max_shift pixels (the
+    jit-friendly stand-in for random cropping: pad + dynamic slice)."""
+    b, h, w, c = images.shape
+    kx, ky = jax.random.split(key)
+    dx = jax.random.randint(kx, (b,), -max_shift, max_shift + 1)
+    dy = jax.random.randint(ky, (b,), -max_shift, max_shift + 1)
+    padded = jnp.pad(images, ((0, 0), (max_shift, max_shift),
+                              (max_shift, max_shift), (0, 0)))
+
+    def crop(img, ddy, ddx):
+        return jax.lax.dynamic_slice(
+            img, (max_shift + ddy, max_shift + ddx, 0), (h, w, c)
+        )
+
+    return jax.vmap(crop)(padded, dy, dx)
+
+
+def make_augment_fn(mode: str):
+    """Batch augmentation for the training step: (key, batch) -> batch.
+
+    Pure and jit/vmap-safe; applied on device inside the local-training
+    scan (the reference ran torchvision augmentation on the host,
+    cub200_loader.py:192-216).
+    """
+    mode = (mode or "none").lower()
+    if mode in ("none", ""):
+        return None
+
+    def fn(key, batch):
+        images = batch["image"]
+        if mode in ("flip", "crop_flip"):
+            key, sub = jax.random.split(key)
+            images = random_flip(sub, images)
+        if mode in ("crop", "crop_flip"):
+            key, sub = jax.random.split(key)
+            images = random_shift(sub, images)
+        return dict(batch, image=images)
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # Audio: log-mel spectrogram
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ class ExperimentConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0
     clip_norm: float = 1.0  # reference clips grads at 1.0 (run_experiments.py:231)
+    augment: str = "none"  # on-device train-time augmentation (flip/crop)
     partition: str = "iid"
     alpha: float = 0.5
     partition_seed: int = 42

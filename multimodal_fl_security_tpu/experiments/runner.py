@@ -138,6 +138,7 @@ class ExperimentRunner:
             clip_norm=config.clip_norm,
             local_epochs=config.local_epochs,
             batch_size=config.batch_size,
+            augment=config.augment,
         )
         engine = RoundEngine(
             model,

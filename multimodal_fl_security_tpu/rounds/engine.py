@@ -77,6 +77,9 @@ class TrainSpec:
     clip_norm: float = 1.0
     local_epochs: int = 1
     batch_size: int = 32
+    #: "none" | "flip" | "crop" | "crop_flip" — on-device train-time
+    #: augmentation (data/preprocess.py::make_augment_fn)
+    augment: str = "none"
 
 
 def make_local_train_fn(model, spec: TrainSpec, n_samples: int) -> Callable:
@@ -91,8 +94,16 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int) -> Callable:
     steps = n_samples // bsz
     opt = make_optimizer(spec.learning_rate, spec.momentum, spec.weight_decay,
                          spec.clip_norm)
+    from multimodal_fl_security_tpu.data.preprocess import make_augment_fn
 
-    def loss_fn(params, batch, bmask, dropout_key):
+    augment = make_augment_fn(spec.augment)
+
+    def loss_fn(params, batch, bmask, step_key):
+        if augment is not None:
+            akey, dropout_key = jax.random.split(step_key)
+            batch = augment(akey, batch)
+        else:
+            dropout_key = step_key
         logits = model.apply(
             {"params": params}, batch, train=True, rngs={"dropout": dropout_key}
         )
