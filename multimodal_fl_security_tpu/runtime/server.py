@@ -163,10 +163,17 @@ class FLServer:
             agg, aux, num_rejected = weighted_mean(stacked, w), {}, 0
 
         self.params = np.asarray(agg, np.float32)
-        losses = [m.get("loss") for m in metrics if "loss" in m]
+        # Example-count-weighted metric reduction
+        # (reference: fl_server.py:26-40 weighted_average).
+        pairs = [(m["loss"], wt) for m, wt in zip(metrics, weights)
+                 if "loss" in m]
+        mean_loss = (
+            float(sum(v * wt for v, wt in pairs) / sum(wt for _, wt in pairs))
+            if pairs else None
+        )
         self.history.append({
             "round": round_idx,
-            "mean_client_loss": float(np.mean(losses)) if losses else None,
+            "mean_client_loss": mean_loss,
             "num_rejected": num_rejected,
             "num_failures": len(dead),
             "num_participants": len(updates),

@@ -213,3 +213,27 @@ def test_eda_report(tmp_path):
 
     report = generate_report(ds, num_clients=5, out_dir=str(tmp_path / "eda"))
     assert os.path.exists(report)
+
+
+# --------------------------------------------------------------------- cli ---
+def test_cli_parser_covers_subcommands():
+    from multimodal_fl_security_tpu.experiments.cli import build_parser
+
+    p = build_parser()
+    for argv, checks in [
+        (["run", "--dataset", "synthetic", "--num-clients", "7",
+          "--defense-type", "krum"],
+         {"dataset": "synthetic", "num_clients": 7, "defense_type": "krum"}),
+        (["matrix", "--quick", "--dataset", "digits"],
+         {"quick": True, "dataset": "digits"}),
+        (["paper", "--preset", "mnist", "--full-distributions"],
+         {"preset": "mnist", "full_distributions": True}),
+        (["quick-test"], {}),
+        (["analyze", "some/dir", "--plots"],
+         {"results_dir": "some/dir", "plots": True}),
+        (["eda", "--dataset", "synthetic"], {"dataset": "synthetic"}),
+    ]:
+        args = p.parse_args(argv)
+        for k, v in checks.items():
+            assert getattr(args, k) == v, (argv, k)
+        assert callable(args.fn)
