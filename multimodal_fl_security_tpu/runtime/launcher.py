@@ -119,7 +119,19 @@ def main(argv=None) -> int:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--server-only", action="store_true")
     ap.add_argument("--client", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) in this process; "
+                    "propagated to spawned roles via MFT_PLATFORM")
     args = ap.parse_args(argv)
+
+    platform = args.platform or os.environ.get("MFT_PLATFORM")
+    if platform:
+        os.environ["MFT_PLATFORM"] = platform
+        import jax
+
+        # A sitecustomize may have pre-imported jax with another platform;
+        # env alone is too late, so set the config directly.
+        jax.config.update("jax_platforms", platform)
 
     if args.config_json:
         config = json.loads(args.config_json)

@@ -3,6 +3,7 @@ round over localhost TCP (threads, one process). The reference had NO
 integration tests for its distributed path (SURVEY.md §4) — these close
 that gap."""
 
+import os
 import socket
 import threading
 
@@ -210,3 +211,44 @@ def test_server_survives_client_death():
     assert server.history[0]["num_failures"] == 1
     assert server.history[0]["num_participants"] == 2
     assert server.history[1]["num_participants"] == 2
+
+
+@pytest.mark.slow
+def test_launcher_spawns_real_processes(tmp_path):
+    """The subprocess launcher end-to-end: 1 server + 2 client OS processes
+    over TCP (reference: run_experiment.py:79-127)."""
+    import json
+    import subprocess
+    import sys
+
+    config = {
+        "name": "launcher_smoke",
+        "dataset": "synthetic",
+        "dataset_params": {"num_train": 256, "num_test": 120,
+                           "image_shape": [16, 16, 1]},
+        "num_clients": 2, "num_rounds": 1, "batch_size": 16,
+        "local_epochs": 1, "learning_rate": 0.05, "partition": "iid",
+        "eval_batch_size": 60,
+    }
+    import socket as sk
+
+    s = sk.socket(); s.bind(("127.0.0.1", 0)); port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ, MFT_PLATFORM="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache")
+    proc = subprocess.run(
+        [sys.executable, "-m",
+         "multimodal_fl_security_tpu.runtime.launcher",
+         "--config-json", json.dumps(config), "--port", str(port),
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # The server process prints a final-evaluation JSON line.
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["rounds"] == 1
+    assert 0.0 <= out["final_accuracy"] <= 1.0
+

@@ -90,3 +90,33 @@ def test_two_level_mesh_dcn_by_ici(setup):
         rtol=2e-4, atol=2e-5,
     )
     assert abs(float(loss2) - float(loss1)) < 1e-4
+
+
+def test_sharded_round_with_attack_matches_engine(setup):
+    """Model poisoning inside the sharded round: the masked [C,D] transform
+    must behave identically to the engine path."""
+    from multimodal_fl_security_tpu.attacks import get_attack
+
+    train, cd, model, params, spec, lt = setup
+    mesh = make_mesh(8)
+    attack = get_attack("scaling", {"scale": 30.0})
+    defense = get_defense("trimmed_mean", {"trim_ratio": 0.2})
+    round_fn = make_sharded_round(lt, defense, mesh, num_clients=8,
+                                  attack=attack)
+
+    arrays = {k: jnp.asarray(v) for k, v in cd.arrays.items()}
+    mask = jnp.asarray(cd.mask)
+    counts = jnp.asarray(cd.counts.astype(np.float32))
+    malicious = jnp.zeros((8,), jnp.float32).at[0].set(1.0)
+    key = jax.random.PRNGKey(5)
+    new_sharded, _ = round_fn(params, key, arrays, mask, counts, malicious)
+
+    engine = RoundEngine(model, cd, spec, attack=attack,
+                         defense=get_defense("trimmed_mean",
+                                             {"trim_ratio": 0.2}),
+                         malicious_clients=[0])
+    new_engine, _ = engine.run_round(params, key)
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(new_sharded)),
+        np.asarray(flatten_tree(new_engine)), rtol=2e-4, atol=2e-5,
+    )
