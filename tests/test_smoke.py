@@ -98,3 +98,50 @@ def test_multi_round_scan_matches_sequential():
         np.asarray(flatten_tree(p_scan)), np.asarray(flatten_tree(p_seq)),
         rtol=2e-4, atol=2e-5,
     )
+
+
+def test_engine_detect_malicious_flags_attacker():
+    """The detection surface (reference: base_defense.py:49-64): krum must
+    flag the boosted client among its rejected set."""
+    import jax
+    import numpy as np
+
+    from multimodal_fl_security_tpu.attacks import get_attack
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.data.partition import partition_data
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.defenses import get_defense
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    train = load_dataset("synthetic", "train", num_train=320,
+                         image_shape=(16, 16, 1))
+    cd = stack_clients(train, partition_data(train.labels, 5, "iid"),
+                       pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    params = init_model(model, {k: v[0, :16] for k, v in cd.arrays.items()},
+                        seed=0)["params"]
+    eng = RoundEngine(
+        model, cd, TrainSpec(learning_rate=0.05, local_epochs=1,
+                             batch_size=16),
+        attack=get_attack("scaling", {"scale": 100.0}),
+        defense=get_defense("krum", {"num_malicious": 1, "multi_k": 1}),
+        malicious_clients=[2],
+    )
+    flags = np.asarray(eng.detect_malicious(params, jax.random.PRNGKey(0)))
+    # Krum flags all non-selected clients; the boosted one MUST be flagged.
+    assert flags[2] == 1.0
+
+
+def test_distributed_backdoor_end_to_end():
+    """Each colluding client patches its own trigger band; ASR is measured
+    against the assembled full trigger."""
+    res = run_simulation(tiny_config(
+        "smoke_dbd", num_rounds=2,
+        attack_enabled=True, attack_type="distributed_backdoor",
+        malicious_clients=[0, 1], poison_ratio=0.5, target_class=0,
+        attack_params={"num_parts": 2, "trigger_size": 4,
+                       "image_size": (16, 16)},
+    ))
+    assert res.attack_success_rate is not None
+    assert 0.0 <= res.attack_success_rate <= 1.0
