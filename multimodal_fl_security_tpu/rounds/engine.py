@@ -209,6 +209,7 @@ class RoundEngine:
             self._server_train = self._make_server_train(root_data)
 
         self._round_fn = jax.jit(self._build_round_fn())
+        self._detect_fn = None  # built lazily, once, by detect_malicious
 
     # ------------------------------------------------------------------
     def _make_server_train(self, root_data: Dict[str, np.ndarray]) -> Callable:
@@ -320,18 +321,23 @@ class RoundEngine:
 
     def detect_malicious(self, params, key):
         """Host-callable detection pass (reference: base_defense.py:49-64)."""
-        @jax.jit
-        def _detect(params, key, arrays, mask, counts):
-            ckeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-                jnp.arange(self.num_clients)
-            )
-            new_stacked, _ = jax.vmap(
-                self._local_train, in_axes=(None, 0, 0, 0)
-            )(params, arrays, mask, ckeys)
-            updates = flatten_stacked(new_stacked)
-            ctx = {"global": flatten_tree(params), "key": key}
-            if self._server_train is not None:
-                ctx["server_grad"] = self._server_train(params, key)
-            return self.defense.detect(updates, counts, ctx)
+        if self._detect_fn is None:
 
-        return _detect(params, key, self.arrays, self.mask, self.counts)
+            def _detect(params, key, arrays, mask, counts):
+                ckeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                    jnp.arange(self.num_clients)
+                )
+                new_stacked, _ = jax.vmap(
+                    self._local_train, in_axes=(None, 0, 0, 0)
+                )(params, arrays, mask, ckeys)
+                updates = flatten_stacked(new_stacked)
+                ctx = {"global": flatten_tree(params), "key": key}
+                if self._server_train is not None:
+                    ctx["server_grad"] = self._server_train(params, key)
+                return self.defense.detect(updates, counts, ctx)
+
+            self._detect_fn = jax.jit(_detect)
+
+        return self._detect_fn(
+            params, key, self.arrays, self.mask, self.counts
+        )
