@@ -48,9 +48,21 @@ class DPSGDDefense(BaseDefense):
         self.clip_norm = float(self.config.get("clip_norm", 10.0))
         self.noise_multiplier = float(self.config.get("noise_multiplier", 0.005))
         self.delta = float(self.config.get("delta", 1e-5))
-        self.rounds_applied = 0  # host-side accounting only
+        self.rounds_applied = 0  # stepped by account_round() on the host
+        # Noise std is clip_norm * z / n while per-client sensitivity of the
+        # weighted mean is ~clip_norm / n, so the accountant's effective
+        # noise multiplier (sigma / sensitivity) is z itself.
+        self._accountant = None
+        if self.noise_multiplier > 0:
+            from multimodal_fl_security_tpu.utils.privacy import RDPAccountant
+
+            self._accountant = RDPAccountant(self.noise_multiplier)
 
     def aggregate_with_aux(self, updates, weights, ctx=None):
+        # NOTE: traced under jit — NO host-side accounting here (a Python
+        # counter in this body would tick once per compile, not per round;
+        # the reference has the same structural flaw, SURVEY.md §2.9-6).
+        # The round loop calls account_round() after each applied round.
         n = updates.shape[0]
         clipped = clip_rows(updates, self.clip_norm)
         mean = weighted_mean(clipped, weights)
@@ -59,25 +71,37 @@ class DPSGDDefense(BaseDefense):
         if key is None:
             key = jax.random.PRNGKey(0)
         noise = std * jax.random.normal(key, mean.shape, mean.dtype)
-        self.rounds_applied += 1
         return mean + noise, {"dp_noise_std": jnp.float32(std)}
 
     # -- accounting (host-side) --------------------------------------------
+    def account_round(self, n: int = 1) -> None:
+        """Record ``n`` applied rounds; called by the training loop."""
+        self.rounds_applied += n
+        if self._accountant is not None:
+            self._accountant.step(n)
+
     def reference_epsilon_per_round(self) -> float:
         """The reference's (broken) per-round epsilon, for artifact parity."""
         if self.noise_multiplier <= 0:
             return float("inf")
         return math.sqrt(2.0 * math.log(1.25 / self.delta)) / self.noise_multiplier
 
-    def epsilon_per_round(self) -> float:
-        """Correct Gaussian-mechanism epsilon with z = noise_multiplier."""
-        return self.reference_epsilon_per_round()
-
     def privacy_spent(self, rounds: Optional[int] = None) -> Dict[str, float]:
+        """Cumulative privacy cost.
+
+        ``epsilon`` is the correct RDP-composed Gaussian-mechanism value
+        (utils/privacy.py); ``reference_epsilon`` is the reference's naive
+        linear formula, reported for artifact parity.
+        """
         r = self.rounds_applied if rounds is None else rounds
+        if self._accountant is not None:
+            eps = self._accountant.epsilon(self.delta, steps=r)
+        else:
+            eps = float("inf")
         return {
-            "epsilon": self.epsilon_per_round() * r,
-            "delta": self.delta * r,
+            "epsilon": eps,
+            "reference_epsilon": self.reference_epsilon_per_round() * r,
+            "delta": self.delta,
             "rounds": r,
         }
 

@@ -203,6 +203,9 @@ class ExperimentRunner:
                 round_losses = list(extra.get("round_losses", []))
                 logger.info("%s resumed from round %d", config.name,
                             start_round)
+        # Privacy accounting (SURVEY.md §2.9-6: the reference's accountant is
+        # never consulted by its loop; here the loop steps it every round).
+        accounts_privacy = hasattr(defense, "account_round")
         for r in range(start_round, config.num_rounds):
             rkey = jax.random.fold_in(round_key, r)
             params, round_metrics = engine.run_round(params, rkey)
@@ -213,13 +216,19 @@ class ExperimentRunner:
             round_accuracies.append(acc)
             round_losses.append(loss)
             round_asr = asr_now(params) if config.eval_asr_every_round else None
+            defense_metrics = {
+                k: v for k, v in round_metrics.items()
+                if np.asarray(v).size == 1
+            }
+            if accounts_privacy:
+                defense.account_round()
+                defense_metrics["privacy_epsilon"] = (
+                    defense.privacy_spent()["epsilon"]
+                )
             if tracker is not None:
                 tracker.log_round(
                     r + 1, accuracy=acc, loss=loss, asr=round_asr,
-                    defense_metrics={
-                        k: v for k, v in round_metrics.items()
-                        if np.asarray(v).size == 1
-                    },
+                    defense_metrics=defense_metrics,
                 )
             logger.info(
                 "%s round %d/%d acc=%.4f loss=%.4f%s",
@@ -259,6 +268,10 @@ class ExperimentRunner:
                             if round_accuracies else 0.0,
                             "attack_success_rate": asr})
 
+        extra_metrics: Dict = {}
+        if accounts_privacy:
+            extra_metrics["privacy"] = defense.privacy_spent()
+
         results = ExperimentResults(
             config=config,
             round_accuracies=round_accuracies,
@@ -268,6 +281,7 @@ class ExperimentRunner:
             attack_success_rate=asr,
             training_time_seconds=time.time() - t0,
             timestamp=datetime.datetime.now().isoformat(),
+            extra_metrics=extra_metrics,
         )
         if save:
             os.makedirs(self.results_dir, exist_ok=True)

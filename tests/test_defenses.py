@@ -159,9 +159,23 @@ def test_dp_sgd_clips_and_noises(rng):
 
 def test_dp_privacy_accounting_monotone():
     d = get_defense("dp_sgd", {"noise_multiplier": 1.0})
-    e1 = d.privacy_spent(1)["epsilon"]
-    e5 = d.privacy_spent(5)["epsilon"]
-    assert e5 == pytest.approx(5 * e1)
+    s1, s5 = d.privacy_spent(1), d.privacy_spent(5)
+    # Correct RDP epsilon grows monotonically but sublinearly.
+    assert 0 < s1["epsilon"] < s5["epsilon"] < 5 * s1["epsilon"]
+    # The reference's naive formula composes linearly (artifact parity).
+    assert s5["reference_epsilon"] == pytest.approx(
+        5 * s1["reference_epsilon"])
+
+
+def test_dp_account_round_steps_host_counter():
+    d = get_defense("dp_sgd", {"noise_multiplier": 1.0})
+    assert d.rounds_applied == 0
+    d.account_round()
+    d.account_round(2)
+    assert d.rounds_applied == 3
+    assert d.privacy_spent()["rounds"] == 3
+    assert d.privacy_spent()["epsilon"] == pytest.approx(
+        d.privacy_spent(3)["epsilon"])
 
 
 # -------------------------------------------------------------- clipping ---

@@ -31,6 +31,35 @@ def test_per_round_asr_and_tracking(tmp_path):
     assert data["final_metrics"]["attack_success_rate"] == res.attack_success_rate
 
 
+def test_privacy_accounting_wired_into_simulation(tmp_path):
+    """Epsilon must grow over rounds OF A SIMULATION RUN (the reference's
+    accountant is never consulted by its loop, SURVEY.md §2.9-6), and the
+    reference-compat naive formula must also be reported."""
+    from helpers import tiny_config
+
+    def run(rounds):
+        return run_simulation(tiny_config(
+            f"dp_obs_{rounds}", num_rounds=rounds,
+            defense_enabled=True, defense_type="dp_sgd",
+            defense_params={"clip_norm": 10.0, "noise_multiplier": 1.0},
+            track=True, track_dir=str(tmp_path),
+        ))
+
+    res1, res3 = run(1), run(3)
+    p1 = res1.extra_metrics["privacy"]
+    p3 = res3.extra_metrics["privacy"]
+    assert p1["rounds"] == 1 and p3["rounds"] == 3
+    assert 0 < p1["epsilon"] < p3["epsilon"]
+    np.testing.assert_allclose(
+        p3["reference_epsilon"], 3 * p1["reference_epsilon"], rtol=1e-6)
+    # Per-round epsilon reaches the tracker history too.
+    path = os.path.join(str(tmp_path), "dp_obs_3", "results.json")
+    with open(path) as f:
+        hist = json.load(f)["history"]
+    eps = [h["defense"]["privacy_epsilon"] for h in hist]
+    assert len(eps) == 3 and eps[0] < eps[1] < eps[2]
+
+
 def test_model_poisoning_metrics():
     import jax.numpy as jnp
 
