@@ -143,8 +143,16 @@ def _make_sorted_reduce_kernel(c: int, cp: int, mode: str, trim: int):
     stages = _bitonic_stages(cp)
 
     def kernel(u_ref, out_ref):
-        x = u_ref[:]  # [cp, BD]; rows >= c are +inf
+        x = u_ref[:]  # [c, BD]
         bd = x.shape[1]
+        if cp > c:
+            # Pad the client axis to the pow2 network size IN-KERNEL with
+            # +inf sentinels (sorted to the bottom), so the [C, D] input is
+            # never copied/padded in HBM — at ResNet-50 scale that copy is
+            # >10 GB and OOMs the chip.
+            x = jnp.concatenate(
+                [x, jnp.full((cp - c, bd), jnp.inf, x.dtype)], axis=0
+            )
         rows = jax.lax.broadcasted_iota(jnp.int32, (cp, 1), 0)
         for k, j in stages:
             # Partner exchange i <-> i^j via a leading-axis reshape swap
@@ -184,26 +192,32 @@ def sorted_reduce_pallas(updates: jnp.ndarray, mode: str = "median",
     c, d = updates.shape
     cp = 1 << max((c - 1).bit_length(), 3)  # pow2, >= 8 sublanes
     block_d = _auto_block_d(cp, block_d, budget_bytes=2 << 20)
-    d_pad = _round_up(d, block_d)
-    u = jnp.pad(updates, ((0, cp - c), (0, d_pad - d)),
-                constant_values=jnp.inf)
-    # The D padding must not be +inf in real rows (it would poison the
-    # mean); repad tail columns of real rows with zeros.
-    u = u.at[:c, d:].set(0.0)
-    nblk = d_pad // block_d
+    nblk = d // block_d
 
+    if nblk == 0:
+        srt = jnp.sort(updates, axis=0)
+        if mode == "median":
+            return srt[(c - 1) // 2]
+        return jnp.mean(srt[trim : c - trim], axis=0)
+
+    # D-blocks stream straight out of the original [C, D] buffer: the client
+    # axis is padded to the pow2 network size inside the kernel, and a
+    # non-divisible final block is masked by Mosaic (each output column
+    # depends only on its own input column, so masked lanes can't pollute
+    # real ones). No HBM copies of the input are ever made.
+    grid = (d + block_d - 1) // block_d
     kernel = _make_sorted_reduce_kernel(c, cp, mode, trim)
     out = pl.pallas_call(
         kernel,
-        grid=(nblk,),
-        in_specs=[pl.BlockSpec((cp, block_d), lambda i: (0, i),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((c, block_d), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, block_d), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, d), jnp.float32),
         interpret=interpret,
-    )(u)
-    return out[0, :d]
+    )(updates)
+    return out[0]
 
 
 # ---------------------------------------------------------------------------
