@@ -13,9 +13,51 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from multimodal_fl_security_tpu.models.registry import MODELS
+
+
+class ConvPoolFused(nn.Module):
+    """conv(3x3, SAME) -> relu -> maxpool(2) as ONE stride-2 conv.
+
+    The 3x3 kernel is embedded at each of the 4 pool-window offsets of a
+    4x4/stride-2 kernel with 4x the output channels, then the groups are
+    max-reduced: exactly the same values as conv+relu+pool (max commutes
+    with the shared bias; relu is monotone), but the MXU contraction grows
+    from 3*3*C_in lanes / C_out columns to 4*4*C_in / 4*C_out — measured
+    19% faster per training step at the bench workload (per-client vmapped
+    weights, docs/performance.md). Parameters are identical to nn.Conv's
+    (one (3,3,C_in,C_out) kernel + bias), so model semantics, counts, and
+    gradients match the unfused stem.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        k = kernel.astype(self.dtype)
+        w4 = jnp.zeros((4, 4, cin, 4 * self.features), self.dtype)
+        for g, (di, dj) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            w4 = w4.at[di : di + 3, dj : dj + 3, :,
+                       g * self.features : (g + 1) * self.features].set(k)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w4, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, 4, self.features).max(axis=3)
+        return nn.relu(y + bias.astype(self.dtype))
 
 
 class SimpleCNN(nn.Module):
@@ -24,13 +66,19 @@ class SimpleCNN(nn.Module):
     num_classes: int = 10
     hidden_dim: int = 128
     dtype: Any = jnp.float32
+    #: fuse the first conv+relu+pool stage into one stride-2 conv
+    #: (mathematically exact; see ConvPoolFused)
+    fused_stem: bool = True
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = False) -> jnp.ndarray:
         x = batch["image"].astype(self.dtype)
-        x = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if self.fused_stem and x.shape[1] >= 2 and x.shape[2] >= 2:
+            x = ConvPoolFused(32, dtype=self.dtype)(x)
+        else:
+            x = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))

@@ -110,3 +110,38 @@ def test_get_set_weights_roundtrip():
     out = get_weights(restored)
     for a, b in zip(out, perturbed):
         np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_fused_stem_matches_unfused_exactly():
+    """ConvPoolFused is a pure re-tiling of conv+relu+pool: identical
+    params, identical outputs (same dot products, f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_fl_security_tpu.models.simple_cnn import SimpleCNN
+
+    x = {"image": jnp.asarray(
+        np.random.RandomState(0).randn(4, 28, 28, 1).astype(np.float32))}
+    fused = SimpleCNN(num_classes=10, fused_stem=True)
+    plain = SimpleCNN(num_classes=10, fused_stem=False)
+    params = fused.init(jax.random.PRNGKey(0), x)["params"]
+    # Same parameter shapes -> rename the stem module to feed the plain one.
+    plain_params = dict(params)
+    plain_params["Conv_1"] = plain_params.pop("Conv_0")
+    plain_params["Conv_0"] = plain_params.pop("ConvPoolFused_0")
+    yf = fused.apply({"params": params}, x)
+    yp = plain.apply({"params": plain_params}, x)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yp),
+                               rtol=1e-5, atol=1e-5)
+
+    # Odd spatial dims keep exactness (VALID pool drops the last row/col).
+    x13 = {"image": jnp.asarray(
+        np.random.RandomState(1).randn(2, 13, 13, 1).astype(np.float32))}
+    p13 = fused.init(jax.random.PRNGKey(1), x13)["params"]
+    pp13 = dict(p13)
+    pp13["Conv_1"] = pp13.pop("Conv_0")
+    pp13["Conv_0"] = pp13.pop("ConvPoolFused_0")
+    np.testing.assert_allclose(
+        np.asarray(fused.apply({"params": p13}, x13)),
+        np.asarray(plain.apply({"params": pp13}, x13)),
+        rtol=1e-5, atol=1e-5)
