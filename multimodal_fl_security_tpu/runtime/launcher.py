@@ -62,9 +62,17 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
 
     final_params = unflatten_tree(params, jnp.asarray(final))
     stats = evaluate_model(model, final_params, test)
-    print(json.dumps({"final_accuracy": stats["accuracy"],
-                      "final_loss": stats["loss"],
-                      "rounds": len(server.history)}))
+    if config.get("history_path"):
+        with open(config["history_path"], "w") as f:
+            json.dump(server.history, f, indent=2)
+    print(json.dumps({
+        "final_accuracy": stats["accuracy"],
+        "final_loss": stats["loss"],
+        "rounds": len(server.history),
+        "total_failures": sum(h["num_failures"] for h in server.history),
+        "final_participants": (server.history[-1]["num_participants"]
+                               if server.history else 0),
+    }))
 
 
 def _client_main(config: Dict[str, Any], client_id: int, port: int) -> None:

@@ -252,3 +252,97 @@ def test_launcher_spawns_real_processes(tmp_path):
     assert out["rounds"] == 1
     assert 0.0 <= out["final_accuracy"] <= 1.0
 
+
+@pytest.mark.slow
+def test_multiprocess_soak_kill_one_mid_run(tmp_path):
+    """True multi-process soak: 1 server + 20 client OS processes over TCP,
+    10 rounds; one client is SIGKILLed after round 2 completes. The server
+    must drop it (runtime/server.py fault path) and finish all 10 rounds
+    with 19 survivors."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    num_clients, num_rounds = 20, 10
+    history_path = str(tmp_path / "history.json")
+    config = {
+        "name": "soak",
+        "dataset": "synthetic",
+        "dataset_params": {"num_train": 640, "num_test": 120,
+                           "image_shape": [16, 16, 1]},
+        "num_clients": num_clients, "num_rounds": num_rounds,
+        "batch_size": 16, "local_epochs": 1, "learning_rate": 0.05,
+        "partition": "iid", "history_path": history_path,
+    }
+    import socket as sk
+
+    s = sk.socket(); s.bind(("127.0.0.1", 0)); port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ, MFT_PLATFORM="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def spawn(role, stderr=None):
+        return subprocess.Popen(
+            [sys.executable, "-m",
+             "multimodal_fl_security_tpu.runtime.launcher",
+             "--config-json", json.dumps(config), "--port", str(port),
+             "--platform", "cpu"] + role,
+            stdout=subprocess.PIPE, stderr=stderr, text=True,
+            env=env, cwd=root,
+        )
+
+    stderr_path = tmp_path / "server_err.log"
+    with open(stderr_path, "w") as errf:
+        server = spawn(["--server-only"], stderr=errf)
+        time.sleep(2.0)
+        clients = [spawn(["--client", str(i)],
+                         stderr=subprocess.DEVNULL)
+                   for i in range(num_clients)]
+        victim = clients[7]
+
+        # Kill the victim once the server has aggregated round 2 (so the
+        # death is genuinely mid-experiment, not before or after it).
+        deadline = time.time() + 600
+        killed = False
+        while time.time() < deadline:
+            if server.poll() is not None:
+                break
+            log = open(stderr_path).read()
+            if not killed and "round 2 aggregated" in log:
+                victim.send_signal(signal.SIGKILL)
+                killed = True
+            if "round %d aggregated" % num_rounds in log:
+                break
+            time.sleep(0.5)
+        assert killed, "never saw round 2 complete:\n" + open(
+            stderr_path).read()[-2000:]
+
+        out, _ = server.communicate(timeout=300)
+        for c in clients:
+            if c.poll() is None:
+                try:
+                    c.wait(timeout=60)
+                except subprocess.TimeoutExpired:
+                    c.kill()
+    assert server.returncode == 0, open(stderr_path).read()[-2000:]
+
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    result = json.loads(line)
+    assert result["rounds"] == num_rounds
+    assert result["total_failures"] >= 1          # the victim was dropped
+    assert result["final_participants"] == num_clients - 1
+
+    with open(history_path) as f:
+        history = json.load(f)
+    assert len(history) == num_rounds
+    # Every round after the kill ran with the 19 survivors.
+    post = [h for h in history if h["num_failures"] > 0]
+    assert post, "no round recorded the failure"
+    first_fail = post[0]["round"]
+    for h in history:
+        if h["round"] > first_fail:
+            assert h["num_participants"] == num_clients - 1
+            assert h["num_failures"] == 0
