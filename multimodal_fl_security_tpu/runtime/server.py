@@ -171,14 +171,20 @@ class FLServer:
             float(sum(v * wt for v, wt in pairs) / sum(wt for _, wt in pairs))
             if pairs else None
         )
-        self.history.append({
+        entry = {
             "round": round_idx,
             "mean_client_loss": mean_loss,
             "num_rejected": num_rejected,
             "num_failures": len(dead),
             "num_participants": len(updates),
             "defense": self.defense.name,
-        })
+        }
+        # Privacy accounting per applied round (same contract as the
+        # simulation loop; SURVEY.md §2.9-6).
+        if hasattr(self.defense, "account_round"):
+            self.defense.account_round()
+            entry["privacy_epsilon"] = self.defense.privacy_spent()["epsilon"]
+        self.history.append(entry)
         logger.info("round %d aggregated (%s, rejected=%d)",
                     round_idx, self.defense.name, num_rejected)
 

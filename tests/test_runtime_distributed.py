@@ -346,3 +346,57 @@ def test_multiprocess_soak_kill_one_mid_run(tmp_path):
         if h["round"] > first_fail:
             assert h["num_participants"] == num_clients - 1
             assert h["num_failures"] == 0
+
+def test_server_round_steps_privacy_accounting():
+    """The TCP server's round loop steps the DP accountant per applied
+    round (in-process: drive _run_round with stub sockets replaced by a
+    direct call path is overkill — use one threaded round)."""
+    import time
+
+    import jax.numpy as jnp  # noqa: F401
+
+    from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.runtime.client import FLClient
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+
+    config = {
+        "dataset": "synthetic",
+        "dataset_params": {"num_train": 256, "num_test": 100},
+        "num_clients": 2, "batch_size": 16, "local_epochs": 1,
+        "learning_rate": 0.05, "partition": "iid",
+    }
+    ds = load_dataset("synthetic", "train", **config["dataset_params"])
+    model = create_model("simple_cnn", num_classes=10)
+    template = init_model(model, {k: v[:16] for k, v in ds.arrays.items()},
+                          seed=0)["params"]
+    flat0 = np.asarray(flatten_tree(template), np.float32)
+
+    import socket as sk
+
+    s = sk.socket(); s.bind(("127.0.0.1", 0)); port = s.getsockname()[1]
+    s.close()
+    server = FLServer(flat0, num_clients=2, num_rounds=2,
+                      defense_type="dp_sgd",
+                      defense_config={"clip_norm": 50.0,
+                                      "noise_multiplier": 1.0},
+                      host="127.0.0.1", port=port)
+    result = {}
+    st = threading.Thread(target=lambda: result.update(f=server.serve()))
+    st.start()
+    time.sleep(0.3)
+    clients = [FLClient(i, config) for i in range(2)]
+    for c in clients:
+        c.fit(flat0, 0)
+    threads = [threading.Thread(target=c.run, kwargs={"port": port})
+               for c in clients]
+    for t in threads:
+        t.start()
+    st.join(timeout=240)
+    for t in threads:
+        t.join(timeout=60)
+    assert "f" in result
+    eps = [h["privacy_epsilon"] for h in server.history]
+    assert len(eps) == 2 and 0 < eps[0] < eps[1]
+    assert server.defense.rounds_applied == 2
