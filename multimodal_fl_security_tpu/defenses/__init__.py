@@ -21,3 +21,5 @@ from multimodal_fl_security_tpu.defenses import krum  # noqa: F401
 from multimodal_fl_security_tpu.defenses import trimmed_mean  # noqa: F401
 from multimodal_fl_security_tpu.defenses import differential_privacy  # noqa: F401
 from multimodal_fl_security_tpu.defenses import fltrust  # noqa: F401
+# Beyond-reference: Bulyan (El Mhamdi et al. ICML'18).
+from multimodal_fl_security_tpu.defenses import bulyan  # noqa: F401

@@ -1,0 +1,122 @@
+"""Tests for the beyond-reference security plugins: Bulyan defense and the
+Min-Max/Min-Sum AGR-agnostic attacks (neither exists in the reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_fl_security_tpu.attacks import get_attack
+from multimodal_fl_security_tpu.defenses import get_defense
+
+
+# ----------------------------------------------------------------- bulyan ---
+def _benign_plus_outliers(rng, n_benign, n_out, d=16, loc=1.0):
+    benign = rng.normal(loc, 0.05, size=(n_benign, d)).astype(np.float32)
+    outl = 100.0 * np.ones((n_out, d), np.float32)
+    return jnp.asarray(np.concatenate([benign, outl]))
+
+
+def test_bulyan_rejects_outliers(rng):
+    # n=7, f=1 satisfies n >= 4f+3; 1 actual outlier.
+    updates = _benign_plus_outliers(rng, 6, 1)
+    d = get_defense("bulyan", {"num_malicious": 1})
+    agg, aux = d.aggregate_with_aux(updates, jnp.ones((7,)))
+    assert float(jnp.max(jnp.abs(agg - 1.0))) < 0.2
+    # The outlier (index 6) is never selected.
+    assert float(aux["selected_mask"][6]) == 0.0
+    assert int(aux["num_selected"]) == 7 - 2  # theta = n - 2f
+    # Detection flags it.
+    det = np.asarray(d.detect(updates, jnp.ones((7,))))
+    assert det[6] == 1.0
+
+
+def test_bulyan_guard_raises():
+    d = get_defense("bulyan", {"num_malicious": 1})
+    with pytest.raises(ValueError, match="4f"):
+        d.aggregate_with_aux(jnp.zeros((6, 4)), jnp.ones((6,)))
+
+
+def test_bulyan_clean_equals_near_mean(rng):
+    """With homogeneous benign updates, Bulyan's output is within the
+    benign spread (sanity against over-trimming)."""
+    updates = jnp.asarray(rng.normal(2.0, 0.01, size=(8, 8)).astype(np.float32))
+    d = get_defense("bulyan", {"num_malicious": 1})
+    agg, _ = d.aggregate_with_aux(updates, jnp.ones((8,)))
+    assert float(jnp.max(jnp.abs(agg - 2.0))) < 0.05
+
+
+def test_bulyan_inside_jit(rng):
+    updates = _benign_plus_outliers(rng, 6, 1)
+    d = get_defense("bulyan", {"num_malicious": 1})
+    agg = jax.jit(lambda u, w: d.aggregate_with_aux(u, w, {})[0])(
+        updates, jnp.ones((7,)))
+    assert float(jnp.max(jnp.abs(agg - 1.0))) < 0.2
+
+
+# ------------------------------------------------------------- min-max/sum ---
+def _make_updates(rng, n=10, d=32):
+    return jnp.asarray(rng.normal(0.5, 0.3, size=(n, d)).astype(np.float32))
+
+
+@pytest.mark.parametrize("name", ["min_max", "min_sum"])
+def test_agr_attack_respects_constraint(rng, name):
+    updates = _make_updates(rng)
+    mal = jnp.zeros((10,)).at[jnp.array([0, 1])].set(1.0)
+    atk = get_attack(name, {"perturbation": "std"})
+    out = atk.poison_updates(jax.random.PRNGKey(0), updates,
+                             jnp.zeros((32,)), mal, 10)
+    out = np.asarray(out)
+    ben = np.asarray(updates)[2:]
+    crafted = out[0]
+    np.testing.assert_allclose(out[1], crafted)       # colluders identical
+    # Benign rows untouched.
+    np.testing.assert_allclose(out[2:], ben)
+
+    cd = np.linalg.norm(crafted[None, :] - ben, axis=1)
+    bd = np.linalg.norm(ben[:, None, :] - ben[None, :, :], axis=2)
+    if name == "min_max":
+        assert cd.max() <= bd.max() * (1 + 1e-4)
+    else:
+        assert (cd ** 2).sum() <= (bd ** 2).sum(axis=1).max() * (1 + 1e-4)
+    # And gamma actually moved the crafted point off the benign mean.
+    mean = ben.mean(axis=0)
+    assert np.linalg.norm(crafted - mean) > 1e-3
+
+
+def test_min_max_evades_krum_detection(rng):
+    """The crafted update sits inside the benign spread, so Krum's
+    distance scoring cannot reliably exclude it — the attack's design
+    goal (Shejwalkar'21 §IV)."""
+    updates = _make_updates(rng, n=11)
+    mal = jnp.zeros((11,)).at[0].set(1.0)
+    atk = get_attack("min_max", {"perturbation": "std"})
+    out = atk.poison_updates(jax.random.PRNGKey(0), updates,
+                             jnp.zeros((32,)), mal, 11)
+    d = get_defense("krum", {"num_malicious": 1})
+    scores = np.asarray(d.scores(out))
+    # The crafted update's Krum score is not the worst (an obvious scaled
+    # attack WOULD be argmax); i.e. at least one benign client scores worse.
+    assert scores[0] < scores.max()
+
+
+def test_agr_attack_in_engine_round():
+    """min_max fires inside the jitted round program end-to-end."""
+    from helpers import tiny_config
+    from multimodal_fl_security_tpu.experiments.runner import run_simulation
+
+    res = run_simulation(tiny_config(
+        "agr_e2e", num_rounds=2, num_clients=5,
+        attack_enabled=True, attack_type="min_max",
+        malicious_clients=[0],
+        defense_enabled=True, defense_type="trimmed_mean", trim_ratio=0.2,
+    ))
+    assert np.isfinite(res.final_loss)
+
+
+def test_registry_has_beyond_reference_names():
+    from multimodal_fl_security_tpu.attacks.base import ATTACKS
+    from multimodal_fl_security_tpu.defenses.base import DEFENSES
+
+    assert "min_max" in ATTACKS and "min_sum" in ATTACKS
+    assert "bulyan" in DEFENSES
