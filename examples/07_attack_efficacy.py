@@ -29,10 +29,12 @@ OUT_DIR = os.path.join(
 )
 
 # The successful-attack regime: 2/5 colluding clients, poison_ratio 0.8,
-# 20 rounds. (1/5 at ratio 0.1 over 5 rounds — the reference's quick
-# config — never implants the trigger; see BASELINE.md ASR 9.15%.)
+# 30 rounds. (1/5 at ratio 0.1 over 5 rounds — the reference's quick
+# config — never implants the trigger; see BASELINE.md ASR 9.15%. 30
+# rounds keeps undefended ASR >= 0.8 across seeds/inits; at 20 it sits
+# near 0.73-0.99 depending on the init draw.)
 BASE = dict(
-    dataset="digits", num_clients=5, num_rounds=20, local_epochs=2,
+    dataset="digits", num_clients=5, num_rounds=30, local_epochs=2,
     batch_size=32, learning_rate=0.01, partition="iid", seed=42,
     target_class=0, trigger_size=3,
 )
@@ -63,6 +65,11 @@ def main():
         defense_type="trimmed_mean", trim_ratio=0.4, **ATTACK)
     run("backdoor_median_digits_5c2m", defense_enabled=True,
         defense_type="median", **ATTACK)
+    # Beyond-reference: FoolsGold targets exactly this colluding-sybil
+    # regime (the 2 poisoned clients push similar updates every round).
+    fg = run("backdoor_foolsgold_digits_5c2m", defense_enabled=True,
+             defense_type="foolsgold", **ATTACK)
+    assert fg.attack_success_rate < 0.1, "foolsgold failed on its own regime"
 
     # The regime the framework is built to demonstrate:
     assert none_.attack_success_rate >= 0.8, "attack failed to implant"
@@ -73,7 +80,7 @@ def main():
         "krum wrecked clean accuracy"
 
     lines = [
-        "# Attack efficacy — digits, backdoor p=0.8, 2/5 malicious, 20 rounds",
+        "# Attack efficacy — digits, backdoor p=0.8, 2/5 malicious, 30 rounds",
         "",
         "| Experiment | MTA | ASR |",
         "|---|---|---|",

@@ -208,6 +208,12 @@ class RoundEngine:
                 )
             self._server_train = self._make_server_train(root_data)
 
+        # Stateful defenses (e.g. FoolsGold) thread a state pytree through
+        # the jitted round; the engine owns it between dispatches. Lazily
+        # initialized on the first run_round (needs the flat param dim).
+        self._defense_stateful = bool(getattr(self.defense, "stateful", False))
+        self._defense_state = None
+
         self._round_fn = jax.jit(self._build_round_fn())
         self._detect_fn = None  # built lazily, once, by detect_malicious
 
@@ -242,7 +248,10 @@ class RoundEngine:
 
         k_sample = self.clients_per_round
 
-        def round_fn(params, key, arrays, mask, counts, malicious_mask):
+        stateful = self._defense_stateful
+
+        def round_fn(params, key, arrays, mask, counts, malicious_mask,
+                     defense_state):
             global_flat = flatten_tree(params)
             if k_sample is not None:
                 # Sample a participant subset (without replacement) and
@@ -276,7 +285,14 @@ class RoundEngine:
             if self._server_train is not None:
                 ctx["server_grad"] = self._server_train(params, key_server)
 
-            agg, aux = defense.aggregate_with_aux(updates, counts, ctx)
+            if stateful:
+                agg, aux, new_state = defense.aggregate_stateful(
+                    updates, counts, ctx, defense_state
+                )
+            else:
+                agg, aux, new_state = *defense.aggregate_with_aux(
+                    updates, counts, ctx
+                ), defense_state
             new_params = unflatten_tree(params, agg)
 
             metrics = {
@@ -286,15 +302,33 @@ class RoundEngine:
                 ),
                 **aux,
             }
-            return new_params, metrics
+            return new_params, metrics, new_state
 
         return round_fn
 
     # ------------------------------------------------------------------
+    def _ensure_defense_state(self, params) -> None:
+        if self._defense_stateful and self._defense_state is None:
+            if self.clients_per_round is not None:
+                raise NotImplementedError(
+                    f"stateful defense {self.defense.name} requires full "
+                    "client participation (clients_per_round=None): its "
+                    "per-client history is indexed by the full client axis"
+                )
+            dim = int(flatten_tree(params).shape[0])
+            self._defense_state = self.defense.init_state(
+                self.num_clients, dim
+            )
+
     def run_round(self, params, key) -> Tuple[Any, Dict[str, jnp.ndarray]]:
-        return self._round_fn(
-            params, key, self.arrays, self.mask, self.counts, self.malicious_mask
+        self._ensure_defense_state(params)
+        new_params, metrics, new_state = self._round_fn(
+            params, key, self.arrays, self.mask, self.counts,
+            self.malicious_mask, self._defense_state,
         )
+        if self._defense_stateful:
+            self._defense_state = new_state
+        return new_params, metrics
 
     def run_rounds(self, params, key, num_rounds: int
                    ) -> Tuple[Any, Dict[str, jnp.ndarray]]:
@@ -304,20 +338,29 @@ class RoundEngine:
         and every intermediate live in HBM for the whole horizon. Metrics
         come back stacked with a leading round axis.
         """
+        self._ensure_defense_state(params)
         round_fn = self._build_round_fn()
 
         @partial(jax.jit, static_argnames=("n",))
-        def multi(params, key, arrays, mask, counts, malicious, n):
-            def body(p, r):
+        def multi(params, key, arrays, mask, counts, malicious, dstate, n):
+            def body(carry, r):
+                p, st = carry
                 rkey = jax.random.fold_in(key, r)
-                new_p, metrics = round_fn(p, rkey, arrays, mask, counts,
-                                          malicious)
-                return new_p, metrics
+                new_p, metrics, new_st = round_fn(p, rkey, arrays, mask,
+                                                  counts, malicious, st)
+                return (new_p, new_st), metrics
 
-            return jax.lax.scan(body, params, jnp.arange(n))
+            (p, st), metrics = jax.lax.scan(
+                body, (params, dstate), jnp.arange(n)
+            )
+            return p, metrics, st
 
-        return multi(params, key, self.arrays, self.mask, self.counts,
-                     self.malicious_mask, n=num_rounds)
+        p, metrics, st = multi(params, key, self.arrays, self.mask,
+                               self.counts, self.malicious_mask,
+                               self._defense_state, n=num_rounds)
+        if self._defense_stateful:
+            self._defense_state = st
+        return p, metrics
 
     def detect_malicious(self, params, key):
         """Host-callable detection pass (reference: base_defense.py:49-64)."""

@@ -143,8 +143,8 @@ def nb_03():
 The reference's notebook 03 in miniature: a strong backdoor attack on
 real data (digits), undefended vs Krum, side by side. The regime
 (2/5 colluding clients, poison_ratio 0.8) is the one demonstrated in
-`artifacts/attack_efficacy/` — ASR ≈ 0.99 undefended with a <3% clean
-accuracy drop, crushed to ≈0.006 by Krum.
+`artifacts/attack_efficacy/` — ASR ≈ 0.85 undefended (30 rounds) with a
+<2% clean accuracy drop, crushed to 0.0 by Krum and FoolsGold.
 """),
         SETUP,
         code("""
