@@ -82,6 +82,16 @@ class FLClient:
         )
         self._train = jax.jit(make_local_train_fn(self.model, spec, n))
 
+        # Optional int8 uplink compression with error feedback
+        # (runtime/compression.py; beyond-reference).
+        self._compressor = None
+        if config.get("compression") == "int8":
+            from multimodal_fl_security_tpu.runtime.compression import (
+                Int8UplinkCompressor,
+            )
+
+            self._compressor = Int8UplinkCompressor()
+
     # -- hooks overridden by MaliciousFLClient ---------------------------
     def _maybe_poison_data(self, shard):
         return shard
@@ -120,9 +130,16 @@ class FLClient:
                     return
                 if msg.get("type") == "fit":
                     flat, n, metrics = self.fit(msg["params"], msg["round"])
-                    send_msg(sock, {"params": flat, "num_examples": n,
-                                    "client_id": self.client_id,
-                                    "metrics": metrics})
+                    reply = {"num_examples": n,
+                             "client_id": self.client_id,
+                             "metrics": metrics}
+                    if self._compressor is not None:
+                        reply.update(
+                            self._compressor.compress(flat, msg["params"])
+                        )
+                    else:
+                        reply["params"] = flat
+                    send_msg(sock, reply)
         finally:
             sock.close()
 

@@ -1,0 +1,64 @@
+"""Uplink update compression for the distributed TCP runtime.
+
+Beyond-reference (its Flower path ships full float32 ndarrays both ways
+every round, reference: src/server/robust_server.py:101,126). FL uplink is
+usually the constrained direction, so clients can quantize their update
+DELTA (update - global) to int8 with a per-message scale before sending;
+the server dequantizes and adds the global back before aggregation — the
+defense stack sees ordinary float32 updates and is unaffected.
+
+Error feedback (Seide'14 / Karimireddy'19 "EF-SGD"): each client keeps the
+quantization residual and adds it to the next round's delta, so the
+quantization error is compensated over time instead of accumulating —
+without it, 8-bit training visibly stalls.
+
+Wire cost: 1 int8 byte per parameter + a float scale = ~4x smaller uplink
+than float32 (the transport frames raw bytes, transport.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def quantize_delta(delta: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Symmetric per-message int8 quantization of a float32 vector."""
+    scale = float(np.max(np.abs(delta)) / 127.0)
+    if scale <= 0 or not np.isfinite(scale):
+        return np.zeros(delta.shape, np.int8), 0.0
+    q = np.clip(np.rint(delta / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def dequantize_delta(q: np.ndarray, scale: float) -> np.ndarray:
+    return q.astype(np.float32) * np.float32(scale)
+
+
+class Int8UplinkCompressor:
+    """Client-side stateful compressor with error feedback."""
+
+    name = "int8"
+
+    def __init__(self):
+        self._residual: Optional[np.ndarray] = None
+
+    def compress(self, update: np.ndarray,
+                 global_flat: np.ndarray) -> Dict[str, object]:
+        delta = update.astype(np.float32) - np.asarray(global_flat, np.float32)
+        if self._residual is not None:
+            delta = delta + self._residual
+        q, scale = quantize_delta(delta)
+        self._residual = delta - dequantize_delta(q, scale)
+        return {"q_delta": q, "q_scale": scale, "compression": self.name}
+
+
+def decompress_reply(reply: Dict[str, object],
+                     global_flat: np.ndarray) -> np.ndarray:
+    """Server-side: reconstruct the float32 update from a fit reply."""
+    if reply.get("compression") == "int8":
+        delta = dequantize_delta(np.asarray(reply["q_delta"]),
+                                 float(reply["q_scale"]))
+        return np.asarray(global_flat, np.float32) + delta
+    return np.asarray(reply["params"], np.float32)

@@ -111,8 +111,12 @@ class FLServer:
                 with lock:
                     dead.append(conn)
                 return
+            from multimodal_fl_security_tpu.runtime.compression import (
+                decompress_reply,
+            )
+
             with lock:
-                updates.append(np.asarray(reply["params"], np.float32))
+                updates.append(decompress_reply(reply, self.params))
                 weights.append(float(reply.get("num_examples", 1)))
                 m = dict(reply.get("metrics", {}))
                 m.setdefault("client_id", reply.get("client_id"))
