@@ -52,13 +52,16 @@ class BulyanDefense(BaseDefense):
                 f"Need at least {4 * f + 3} clients."
             )
 
-    def select(self, updates: jnp.ndarray) -> jnp.ndarray:
-        """Iterated-Krum selection: indices [theta] of the chosen clients."""
-        n = updates.shape[0]
+    def select_from_dists(self, dists: jnp.ndarray) -> jnp.ndarray:
+        """Iterated-Krum selection from a precomputed [C, C] distance matrix.
+
+        Split out so the parameter-sharded path (parallel/dshard.py) can
+        feed a psum-reduced distance matrix.
+        """
+        n = dists.shape[0]
         f = self.num_malicious
         self._check(n)
         theta = n - 2 * f
-        dists = pairwise_dists(updates)  # [C, C], zero diagonal
         col = jnp.arange(n)
 
         def body(t, state):
@@ -79,6 +82,10 @@ class BulyanDefense(BaseDefense):
         selected0 = jnp.zeros((theta,), jnp.int32)
         _, selected = jax.lax.fori_loop(0, theta, body, (active0, selected0))
         return selected
+
+    def select(self, updates: jnp.ndarray) -> jnp.ndarray:
+        """Iterated-Krum selection: indices [theta] of the chosen clients."""
+        return self.select_from_dists(pairwise_dists(updates))
 
     def aggregate_with_aux(self, updates, weights, ctx=None):
         n = updates.shape[0]

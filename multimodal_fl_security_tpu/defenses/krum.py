@@ -41,15 +41,23 @@ class KrumDefense(BaseDefense):
                 f"Need at least {2 * f + 3} clients."
             )
 
-    def scores(self, updates: jnp.ndarray) -> jnp.ndarray:
-        """Krum score per client: sum of n-f-2 nearest neighbor distances."""
-        n = updates.shape[0]
+    def scores_from_dists(self, dists: jnp.ndarray) -> jnp.ndarray:
+        """Krum scores from a precomputed [C, C] distance matrix.
+
+        Split out so the parameter-sharded path (parallel/dshard.py) can
+        feed a psum-reduced Gram distance matrix without re-gathering the
+        full [C, D] update matrix on every device.
+        """
+        n = dists.shape[0]
         self._check(n)
         num_neighbors = n - self.num_malicious - 2
-        dists = pairwise_dists(updates)
         srt = jnp.sort(dists, axis=1)
         # srt[:, 0] is the zero self-distance; sum the next num_neighbors.
         return jnp.sum(srt[:, 1 : num_neighbors + 1], axis=1)
+
+    def scores(self, updates: jnp.ndarray) -> jnp.ndarray:
+        """Krum score per client: sum of n-f-2 nearest neighbor distances."""
+        return self.scores_from_dists(pairwise_dists(updates))
 
     def aggregate_with_aux(self, updates, weights, ctx=None):
         n = updates.shape[0]

@@ -9,8 +9,15 @@ aggregation happens with hand-placed collectives —
   - weighted FedAvg: one ``psum`` of (sum_i w_i u_i, sum_i w_i) per shard
     — a reduce, not a gather, so the wire carries exactly one [D] vector
     per device (the minimum possible);
-  - Krum / coordinate rules: ``all_gather`` of the shard's [C/p, D] rows
-    over the mesh axis, then the same pure reduction everywhere.
+  - Krum / coordinate rules, ``param_sharded=False``: ``all_gather`` of
+    the shard's [C/p, D] rows over the mesh axis, then the same pure
+    reduction everywhere — simple, but replicates the full [C, D] matrix
+    per device (10 GB at 100 clients x ResNet-50);
+  - Krum / coordinate rules, ``param_sharded=True``: one ``all_to_all``
+    re-tiles [C/p, D] -> [C, D/p] and the rule runs in its natural layout
+    (coordinate rules fully local; Krum-family distances via a [C, C]
+    Gram psum) — per-device memory O(C*D/p), wire cost O(D) total instead
+    of O(C*D). See parallel/dshard.py.
 
 On a v5p slice these collectives ride ICI; across slices the same code
 works over a second ("dcn") mesh axis by summing over both axis names.
@@ -30,6 +37,10 @@ from multimodal_fl_security_tpu.core.pytrees import (
     flatten_tree,
     unflatten_tree,
 )
+from multimodal_fl_security_tpu.parallel.dshard import (
+    dshard_aggregate,
+    supports_dshard,
+)
 
 
 def make_sharded_round(
@@ -39,6 +50,7 @@ def make_sharded_round(
     num_clients: int,
     axis="clients",
     attack=None,
+    param_sharded: bool = False,
 ) -> Callable:
     """Build round(params, key, arrays, mask, counts, malicious) -> params.
 
@@ -46,6 +58,11 @@ def make_sharded_round(
     axis; it must divide evenly over the mesh axis (or the product of mesh
     axes — pass ``axis=("dcn", "clients")`` for a multi-slice layout, where
     the reductions then span DCN and ICI).
+
+    ``param_sharded=True`` keeps robust aggregation sharded along the
+    parameter dimension (all_to_all to [C, D/p] + per-rule collectives,
+    parallel/dshard.py) instead of row-replicating [C, D] per device;
+    rules without a D-sharded formulation fall back to the all_gather path.
     """
     axes: Tuple[str, ...] = (axis,) if isinstance(axis, str) else tuple(axis)
     n_shards = 1
@@ -53,6 +70,7 @@ def make_sharded_round(
         n_shards *= mesh.shape[a]
     assert num_clients % n_shards == 0, (num_clients, n_shards)
     needs_matrix = defense.name not in ("fedavg", "none")
+    use_dshard = param_sharded and supports_dshard(defense)
 
     def shard_body(params, key, arrays, mask, counts, malicious):
         # Per-shard client training: vmap over the local C/p clients.
@@ -84,6 +102,21 @@ def make_sharded_round(
             agg = jax.lax.psum(part, axes) / jnp.maximum(
                 jax.lax.psum(total_w, axes), 1e-12
             )
+        elif use_dshard:
+            # Keep the matrix sharded along D: all_to_all to [C, D/p],
+            # run the rule in its natural layout, gather only the [D/p]
+            # aggregate slices at the end (parallel/dshard.py).
+            d = updates.shape[1]
+            pad = (-d) % n_shards
+            upd_p = jnp.pad(updates, ((0, 0), (0, pad)))
+            upd_ds = jax.lax.all_to_all(
+                upd_p, axes, split_axis=1, concat_axis=0, tiled=True
+            )  # [C, (D+pad)/p]
+            all_counts = jax.lax.all_gather(counts, axes, tiled=True)
+            agg_local = dshard_aggregate(
+                defense, upd_ds, all_counts.astype(jnp.float32), axes
+            )
+            agg = jax.lax.all_gather(agg_local, axes, tiled=True)[:d]
         else:
             # Robust rules need the full [C, D] matrix: all_gather rows.
             all_updates = jax.lax.all_gather(updates, axes, tiled=True)

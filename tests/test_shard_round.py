@@ -66,6 +66,92 @@ def test_sharded_round_matches_engine(setup, defense_name, cfg):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.parametrize("defense_name,cfg", [
+    ("krum", {"num_malicious": 1, "multi_k": 1}),
+    ("multi_krum", {"num_malicious": 1, "multi_k": 3}),
+    ("trimmed_mean", {"trim_ratio": 0.2}),
+    ("median", {}),
+    ("geometric_median", {}),
+    ("bulyan", {"num_malicious": 1}),
+    ("gradient_clipping", {"clip_norm": 1.0}),
+    ("norm_bounding", {"min_norm": 0.0, "max_norm": 100.0}),
+])
+def test_param_sharded_round_matches_engine(setup, defense_name, cfg):
+    """D-sharded aggregation (all_to_all to [C, D/p] + Gram psum / local
+    coordinate rules) must agree with the replicated single-device engine.
+    The model's flat dim (151,306) is NOT divisible by 8, so the
+    pad-to-shardable path is exercised too."""
+    train, cd, model, params, spec, lt = setup
+    mesh = make_mesh(8)
+    defense = get_defense(defense_name, cfg)
+    round_fn = make_sharded_round(lt, defense, mesh, num_clients=8,
+                                  param_sharded=True)
+
+    arrays = {k: jnp.asarray(v) for k, v in cd.arrays.items()}
+    mask = jnp.asarray(cd.mask)
+    counts = jnp.asarray(cd.counts.astype(np.float32))
+    malicious = jnp.zeros((8,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    new_sharded, loss = round_fn(params, key, arrays, mask, counts, malicious)
+
+    engine = RoundEngine(model, cd, spec, defense=get_defense(defense_name, cfg))
+    new_engine, _ = engine.run_round(params, key)
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(new_sharded)),
+        np.asarray(flatten_tree(new_engine)), rtol=2e-4, atol=2e-5,
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_param_sharded_two_level_mesh(setup):
+    """param_sharded over a 2x4 (dcn x clients) mesh: the all_to_all and
+    Gram psum span both axes and must match the flat-mesh result."""
+    train, cd, model, params, spec, lt = setup
+    arrays = {k: jnp.asarray(v) for k, v in cd.arrays.items()}
+    mask = jnp.asarray(cd.mask)
+    counts = jnp.asarray(cd.counts.astype(np.float32))
+    malicious = jnp.zeros((8,), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    mesh2 = make_mesh(8, axis_names=("dcn", "clients"), shape=(2, 4))
+    round2 = make_sharded_round(
+        lt, get_defense("krum", {"num_malicious": 1}), mesh2, num_clients=8,
+        axis=("dcn", "clients"), param_sharded=True)
+    new2, _ = round2(params, key, arrays, mask, counts, malicious)
+
+    mesh1 = make_mesh(8)
+    round1 = make_sharded_round(
+        lt, get_defense("krum", {"num_malicious": 1}), mesh1, num_clients=8,
+        param_sharded=True)
+    new1, _ = round1(params, key, arrays, mask, counts, malicious)
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(new2)), np.asarray(flatten_tree(new1)),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_param_sharded_fallback_for_unsupported_rule(setup):
+    """A rule with no D-sharded formulation (foolsgold) silently uses the
+    row-replicated all_gather path and still matches the engine."""
+    train, cd, model, params, spec, lt = setup
+    mesh = make_mesh(8)
+    round_fn = make_sharded_round(lt, get_defense("foolsgold", {}), mesh,
+                                  num_clients=8, param_sharded=True)
+    arrays = {k: jnp.asarray(v) for k, v in cd.arrays.items()}
+    mask = jnp.asarray(cd.mask)
+    counts = jnp.asarray(cd.counts.astype(np.float32))
+    malicious = jnp.zeros((8,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    new_sharded, _ = round_fn(params, key, arrays, mask, counts, malicious)
+
+    engine = RoundEngine(model, cd, spec, defense=get_defense("foolsgold", {}))
+    new_engine, _ = engine.run_round(params, key)
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(new_sharded)),
+        np.asarray(flatten_tree(new_engine)), rtol=2e-4, atol=2e-5,
+    )
+
+
 def test_two_level_mesh_dcn_by_ici(setup):
     """2x4 (dcn x clients) mesh: reductions span both axes and match the
     flat 8-device result."""
