@@ -30,5 +30,7 @@ from multimodal_fl_security_tpu.attacks import label_flip  # noqa: F401
 from multimodal_fl_security_tpu.attacks import backdoor  # noqa: F401
 from multimodal_fl_security_tpu.attacks import model_poisoning  # noqa: F401
 from multimodal_fl_security_tpu.attacks import cross_modal  # noqa: F401
-# Beyond-reference: AGR-agnostic attacks (Shejwalkar & Houmansadr NDSS'21).
+# Beyond-reference: AGR-agnostic attacks (Shejwalkar & Houmansadr NDSS'21)
+# and ALIE (Baruch et al. NeurIPS'19).
 from multimodal_fl_security_tpu.attacks import agr_agnostic  # noqa: F401
+from multimodal_fl_security_tpu.attacks import alie  # noqa: F401

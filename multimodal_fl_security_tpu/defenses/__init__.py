@@ -21,7 +21,9 @@ from multimodal_fl_security_tpu.defenses import krum  # noqa: F401
 from multimodal_fl_security_tpu.defenses import trimmed_mean  # noqa: F401
 from multimodal_fl_security_tpu.defenses import differential_privacy  # noqa: F401
 from multimodal_fl_security_tpu.defenses import fltrust  # noqa: F401
-# Beyond-reference: Bulyan (El Mhamdi et al. ICML'18) and FoolsGold
-# (Fung et al. RAID'20, stateful sybil defense).
+# Beyond-reference: Bulyan (El Mhamdi et al. ICML'18), FoolsGold
+# (Fung et al. RAID'20, stateful sybil defense), and centered clipping
+# (Karimireddy et al. ICML'21, stateful momentum defense).
 from multimodal_fl_security_tpu.defenses import bulyan  # noqa: F401
 from multimodal_fl_security_tpu.defenses import foolsgold  # noqa: F401
+from multimodal_fl_security_tpu.defenses import centered_clip  # noqa: F401

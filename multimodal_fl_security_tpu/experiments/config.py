@@ -58,6 +58,11 @@ class ExperimentConfig:
     trim_ratio: float = 0.1
     defense_params: Dict[str, Any] = field(default_factory=dict)
 
+    # secure aggregation (distributed TCP runtime only; runtime/secure_agg.py
+    # — the server then sees only the masked weighted sum, so it composes
+    # only with sum-based defenses)
+    secure_aggregation: bool = False
+
     # execution
     eval_batch_size: int = 500
     # "float32" for strict parity; "bfloat16" runs conv/dense compute on the

@@ -33,6 +33,29 @@ from multimodal_fl_security_tpu.runtime.transport import recv_msg, send_msg
 logger = logging.getLogger(__name__)
 
 
+def _connect_with_retry(host: str, port: int,
+                        deadline_s: float = 180.0) -> socket.socket:
+    """Connect, retrying while the server is still booting.
+
+    The launcher staggers the server start by a fixed sleep (reference:
+    run_experiment.py:103); on a loaded machine the server's import +
+    first jit compile can exceed it, so a refused connection here must
+    retry, not crash the client process.
+    """
+    import time
+
+    t0 = time.monotonic()
+    delay = 0.2
+    while True:
+        try:
+            return socket.create_connection((host, port), timeout=600)
+        except (ConnectionRefusedError, OSError):
+            if time.monotonic() - t0 > deadline_s:
+                raise
+            time.sleep(delay)
+            delay = min(delay * 1.5, 5.0)
+
+
 class FLClient:
     """Honest client: local shard + jitted local training."""
 
@@ -92,6 +115,20 @@ class FLClient:
 
             self._compressor = Int8UplinkCompressor()
 
+        # Optional secure aggregation (runtime/secure_agg.py): pairwise
+        # masks hide this client's update from the server.
+        self._secagg = None
+        if config.get("secure_aggregation"):
+            from multimodal_fl_security_tpu.runtime.secure_agg import (
+                SecAggClient,
+            )
+
+            self._secagg = SecAggClient(
+                client_id,
+                scale=float(config.get("secagg_scale", 1 << 16)),
+                clip=float(config.get("secagg_clip", 32.0)),
+            )
+
     # -- hooks overridden by MaliciousFLClient ---------------------------
     def _maybe_poison_data(self, shard):
         return shard
@@ -120,20 +157,42 @@ class FLClient:
 
     # ---------------------------------------------------------------------
     def run(self, host: str = "127.0.0.1", port: int = 8080) -> None:
-        sock = socket.create_connection((host, port), timeout=600)
+        sock = _connect_with_retry(host, port,
+                                   float(self.config.get(
+                                       "connect_timeout", 180.0)))
         try:
-            send_msg(sock, {"type": "hello", "client_id": self.client_id})
+            hello = {"type": "hello", "client_id": self.client_id}
+            if self._secagg is not None:
+                hello["secagg_pub"] = self._secagg.public_key_hex()
+            send_msg(sock, hello)
             while True:
                 msg = recv_msg(sock)
                 if msg.get("type") == "done":
                     logger.info("client %d done", self.client_id)
                     return
-                if msg.get("type") == "fit":
+                if msg.get("type") == "secagg_keys":
+                    self._secagg.set_peer_keys(msg["pubs"])
+                elif msg.get("type") == "unmask":
+                    # Reveal pairwise seeds with dropped participants so the
+                    # server can strip their uncancelled masks.
+                    send_msg(sock, {
+                        "type": "unmask_reply",
+                        "client_id": self.client_id,
+                        "seeds": self._secagg.reveal_seeds(
+                            msg["dropped"], msg["round"]
+                        ),
+                    })
+                elif msg.get("type") == "fit":
                     flat, n, metrics = self.fit(msg["params"], msg["round"])
                     reply = {"num_examples": n,
                              "client_id": self.client_id,
                              "metrics": metrics}
-                    if self._compressor is not None:
+                    if self._secagg is not None:
+                        delta = flat - np.asarray(msg["params"], np.float32)
+                        reply["masked"] = self._secagg.mask_update(
+                            delta, n, msg["round"], msg["participants"]
+                        )
+                    elif self._compressor is not None:
                         reply.update(
                             self._compressor.compress(flat, msg["params"])
                         )

@@ -54,6 +54,7 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
         defense_type=config.get("defense_type", "none"),
         defense_config=config.get("defense_params", {}),
         port=port,
+        secure_aggregation=bool(config.get("secure_aggregation", False)),
     )
     final = server.serve()
 
@@ -82,6 +83,30 @@ def _client_main(config: Dict[str, Any], client_id: int, port: int) -> None:
     start_client(client_id, config, port=port, malicious=malicious)
 
 
+def _wait_for_port(host: str, port: int, proc: "subprocess.Popen",
+                   timeout: float = 900.0) -> None:
+    """Poll until the server socket accepts (or the server process dies)."""
+    import socket as sk
+
+    t0 = time.monotonic()
+    while True:
+        if proc.poll() is not None:
+            raise RuntimeError(
+                f"server process exited rc={proc.returncode} before "
+                "accepting connections"
+            )
+        try:
+            sk.create_connection((host, port), timeout=2.0).close()
+            return
+        except OSError:
+            if time.monotonic() - t0 > timeout:
+                raise TimeoutError(
+                    f"server did not accept on {host}:{port} "
+                    f"within {timeout}s"
+                )
+            time.sleep(0.5)
+
+
 def run_experiment(config: Dict[str, Any], port: int = 8080,
                    python: str = sys.executable) -> int:
     """Spawn server + clients as subprocesses (reference:
@@ -100,7 +125,12 @@ def run_experiment(config: Dict[str, Any], port: int = 8080,
     try:
         server = spawn(["--server-only"])
         procs.append(server)
-        time.sleep(3.0)  # staggered start (reference: run_experiment.py:103)
+        # Wait until the server actually accepts, not a blind sleep (the
+        # reference sleeps 3 s, run_experiment.py:103 — on a loaded 1-core
+        # host the server's first jit compile alone can exceed that). The
+        # probe connection closes before hello; the server ignores it.
+        _wait_for_port("127.0.0.1", port, server,
+                       timeout=float(config.get("server_boot_timeout", 900)))
         for i in range(int(config["num_clients"])):
             procs.append(spawn(["--client", str(i)]))
             time.sleep(0.3)

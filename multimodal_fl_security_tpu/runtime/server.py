@@ -41,12 +41,29 @@ class FLServer:
         host: str = "0.0.0.0",
         port: int = 8080,
         fit_timeout: float = 600.0,
+        secure_aggregation: bool = False,
     ):
         self.params = np.asarray(initial_params, np.float32)
         self.num_clients = num_clients
         self.num_rounds = num_rounds
         self.defense = get_defense(defense_type, defense_config or {})
         self.host, self.port = host, port
+        #: Bonawitz-style pairwise masking (runtime/secure_agg.py): the
+        #: server learns only the weighted sum, so only sum-based defenses
+        #: compose with it.
+        self.secure_aggregation = bool(secure_aggregation)
+        if self.secure_aggregation:
+            from multimodal_fl_security_tpu.runtime.secure_agg import (
+                SECAGG_COMPATIBLE_DEFENSES,
+            )
+
+            if self.defense.name not in SECAGG_COMPATIBLE_DEFENSES:
+                raise ValueError(
+                    f"secure aggregation hides per-client updates; defense "
+                    f"{self.defense.name!r} needs them (compatible: "
+                    f"{sorted(SECAGG_COMPATIBLE_DEFENSES)})"
+                )
+        self._conn_ids: Dict[Any, int] = {}
         #: per-round deadline for a client's fit reply; a client that dies or
         #: straggles past it is dropped from the round (and, on a dead
         #: socket, from the experiment). The reference accepted Flower's
@@ -66,13 +83,34 @@ class FLServer:
         logger.info("server listening on %s:%d", self.host, self.port)
 
         conns: List[socket.socket] = []
+        pubs: Dict[str, str] = {}
         try:
             while len(conns) < self.num_clients:
                 conn, addr = srv.accept()
-                hello = recv_msg(conn)
-                logger.info("client %s connected from %s",
-                            hello.get("client_id"), addr)
+                try:
+                    hello = recv_msg(conn)
+                except (OSError, ConnectionError, ValueError):
+                    # Liveness probe (launcher port poll) or a client that
+                    # died during hello: ignore, keep accepting.
+                    conn.close()
+                    continue
+                cid = hello.get("client_id")
+                logger.info("client %s connected from %s", cid, addr)
                 conns.append(conn)
+                self._conn_ids[conn] = int(cid if cid is not None
+                                           else len(conns) - 1)
+                if "secagg_pub" in hello:
+                    pubs[str(self._conn_ids[conn])] = hello["secagg_pub"]
+
+            if self.secure_aggregation:
+                if len(pubs) < self.num_clients:
+                    raise RuntimeError(
+                        "secure aggregation enabled but some clients sent "
+                        "no secagg_pub in hello"
+                    )
+                # Relay the public-key directory (SecAgg round 0).
+                for conn in conns:
+                    send_msg(conn, {"type": "secagg_keys", "pubs": pubs})
 
             for r in range(1, self.num_rounds + 1):
                 self._run_round(r, conns)
@@ -87,6 +125,8 @@ class FLServer:
 
     # ------------------------------------------------------------------
     def _run_round(self, round_idx: int, conns: List[socket.socket]) -> None:
+        if self.secure_aggregation:
+            return self._run_round_secagg(round_idx, conns)
         alive = []
         for conn in conns:
             try:
@@ -193,6 +233,141 @@ class FLServer:
                     round_idx, self.defense.name, num_rejected)
 
     # ------------------------------------------------------------------
+    def _gather_replies(self, conns: List[socket.socket], round_idx: int,
+                        dead: List[socket.socket]) -> List[Dict[str, Any]]:
+        """Threaded reply gather; dead sockets appended to ``dead``."""
+        replies: List[Dict[str, Any]] = []
+        lock = threading.Lock()
+
+        def gather(conn):
+            try:
+                conn.settimeout(self.fit_timeout)
+                reply = recv_msg(conn)
+            except (OSError, ConnectionError, ValueError) as e:
+                logger.warning("round %d: dropping client %s (%s)", round_idx,
+                               self._conn_ids.get(conn), type(e).__name__)
+                with lock:
+                    dead.append(conn)
+                return
+            reply["_conn"] = conn
+            with lock:
+                replies.append(reply)
+
+        threads = [threading.Thread(target=gather, args=(c,)) for c in conns]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return replies
+
+    def _forget_dead(self, conns: List[socket.socket],
+                     dead: List[socket.socket]) -> None:
+        for c in dead:
+            if c in conns:
+                conns.remove(c)
+            try:
+                c.close()
+            except OSError:
+                pass
+
+    def _run_round_secagg(self, round_idx: int,
+                          conns: List[socket.socket]) -> None:
+        """One round under pairwise-masked aggregation (secure_agg.py).
+
+        The server sums masked uint64 vectors; with every announced
+        participant contributing, the masks cancel and the decoded sum is
+        the weighted FedAvg numerator. Dropouts trigger a seed-reveal
+        unmask round; a survivor dying DURING unmask aborts the round
+        (params unchanged) — the Shamir-share recovery of full SecAgg is
+        out of scope.
+        """
+        from multimodal_fl_security_tpu.runtime.secure_agg import (
+            SecAggServerRound,
+        )
+
+        participants = [self._conn_ids[c] for c in conns]
+        alive: List[socket.socket] = []
+        dead: List[socket.socket] = []
+        for conn in conns:
+            try:
+                send_msg(conn, {"type": "fit", "round": round_idx,
+                                "params": self.params,
+                                "participants": participants})
+                alive.append(conn)
+            except OSError:
+                logger.warning("round %d: client socket dead at send, "
+                               "dropping", round_idx)
+                dead.append(conn)
+
+        rd = SecAggServerRound(self.params.shape[0])
+        metrics: List[Dict[str, Any]] = []
+        loss_pairs: List[tuple] = []
+        replies = self._gather_replies(alive, round_idx, dead)
+        for reply in replies:
+            cid = self._conn_ids[reply.pop("_conn")]
+            w = float(reply.get("num_examples", 1))
+            rd.add(cid, reply["masked"], w)
+            m = dict(reply.get("metrics", {}))
+            m.setdefault("client_id", cid)
+            metrics.append(m)
+            if "loss" in m:
+                loss_pairs.append((m["loss"], w))
+
+        dropped = sorted(set(participants) - set(rd.contributors))
+        aborted = False
+        if dropped and rd.contributors:
+            # Unmask round: survivors reveal their seeds with the dropped.
+            survivors = [c for c in conns if c not in dead]
+            for conn in survivors:
+                send_msg(conn, {"type": "unmask", "round": round_idx,
+                                "dropped": dropped})
+            unmask_dead: List[socket.socket] = []
+            seed_replies = self._gather_replies(survivors, round_idx,
+                                                unmask_dead)
+            if unmask_dead:
+                # A contributor died before revealing: its masks with the
+                # dropped participants are unrecoverable.
+                logger.error("round %d: survivor died during unmask; "
+                             "aborting round", round_idx)
+                aborted = True
+                dead.extend(unmask_dead)
+            else:
+                revealed = {
+                    self._conn_ids[r.pop("_conn")]: dict(r.get("seeds", {}))
+                    for r in seed_replies
+                }
+                rd.strip_dropout_masks(revealed, dropped)
+
+        self._forget_dead(conns, dead)
+        if not rd.contributors:
+            raise RuntimeError(
+                f"round {round_idx}: every client failed before replying"
+            )
+        if not aborted:
+            self.params = (
+                self.params + rd.weighted_mean_delta()
+            ).astype(np.float32)
+
+        mean_loss = (
+            float(sum(v * w for v, w in loss_pairs)
+                  / sum(w for _, w in loss_pairs))
+            if loss_pairs else None
+        )
+        self.history.append({
+            "round": round_idx,
+            "mean_client_loss": mean_loss,
+            "num_rejected": 0,
+            "num_failures": len(dropped),
+            "num_participants": len(rd.contributors),
+            "defense": self.defense.name,
+            "secure_aggregation": True,
+            "aborted": aborted,
+        })
+        logger.info("round %d secure-aggregated (%d contributors, "
+                    "%d dropped%s)", round_idx, len(rd.contributors),
+                    len(dropped), ", ABORTED" if aborted else "")
+
+    # ------------------------------------------------------------------
     def save_results(self, path: str) -> None:
         """History -> .npz (reference: fl_server.py:129-137)."""
         np.savez(
@@ -208,7 +383,9 @@ class FLServer:
 def start_server(initial_params: np.ndarray, num_clients: int,
                  num_rounds: int, defense_type: str = "none",
                  defense_config: Optional[Dict[str, Any]] = None,
-                 host: str = "0.0.0.0", port: int = 8080) -> np.ndarray:
+                 host: str = "0.0.0.0", port: int = 8080,
+                 secure_aggregation: bool = False) -> np.ndarray:
     server = FLServer(initial_params, num_clients, num_rounds, defense_type,
-                      defense_config, host, port)
+                      defense_config, host, port,
+                      secure_aggregation=secure_aggregation)
     return server.serve()

@@ -25,6 +25,7 @@ _NESTED_MAP = {
     ("experiment", "seed"): "seed",
     ("server", "num_rounds"): "num_rounds",
     ("server", "num_clients"): "num_clients",
+    ("server", "secure_aggregation"): "secure_aggregation",
     ("client", "local_epochs"): "local_epochs",
     ("client", "batch_size"): "batch_size",
     ("client", "learning_rate"): "learning_rate",
@@ -48,14 +49,17 @@ _NESTED_MAP = {
 }
 
 
+_SECTIONS = {k for k, _ in _NESTED_MAP} | {"logging", "evaluation"}
+
+
 def config_from_dict(data: Dict[str, Any]) -> ExperimentConfig:
     flat: Dict[str, Any] = {}
     extra_attack: Dict[str, Any] = {}
     extra_defense: Dict[str, Any] = {}
     for key, value in data.items():
-        if key in _FIELD_NAMES:
-            flat[key] = value
-        elif isinstance(value, dict):
+        # Section check FIRST: "model"/"attack"/"defense" are both nested
+        # section names and flat field names — a dict value means section.
+        if isinstance(value, dict) and key in _SECTIONS:
             for sub, v in value.items():
                 mapped = _NESTED_MAP.get((key, sub))
                 if mapped:
@@ -65,6 +69,8 @@ def config_from_dict(data: Dict[str, Any]) -> ExperimentConfig:
                 elif key == "defense":
                     extra_defense[sub] = v
                 # other unmapped sections (logging/evaluation) are advisory
+        elif key in _FIELD_NAMES:
+            flat[key] = value
     if extra_attack:
         flat.setdefault("attack_params", {}).update(extra_attack)
     if extra_defense:

@@ -189,3 +189,103 @@ def test_foolsgold_e2e_crushes_colluding_backdoor():
         **base))
     assert res.attack_success_rate < 0.1
     assert res.final_accuracy > 0.8
+
+
+# ------------------------------------------------------------------- alie ---
+def test_alie_crafted_matches_mean_minus_z_std(rng):
+    from multimodal_fl_security_tpu.attacks.alie import alie_z
+
+    updates = _make_updates(rng, n=10, d=32)
+    mal = jnp.zeros((10,)).at[jnp.array([0, 1])].set(1.0)
+    atk = get_attack("alie", {"z": 1.5, "num_malicious": 2})
+    out = np.asarray(atk.poison_updates(
+        jax.random.PRNGKey(0), updates, jnp.zeros((32,)), mal, 10))
+    ben = np.asarray(updates)[2:]
+    want = ben.mean(axis=0) - 1.5 * ben.std(axis=0)
+    np.testing.assert_allclose(out[0], want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[1], out[0])        # colluders identical
+    np.testing.assert_allclose(out[2:], ben)          # benign untouched
+    # Derived z is positive and finite for the paper's regimes.
+    assert 0.0 < alie_z(50, 12) < 3.0
+    assert alie_z(10, 2) >= 0.0
+
+
+def test_alie_stays_inside_benign_spread(rng):
+    """The whole point of ALIE: the crafted update is NOT a distance
+    outlier (Krum accepts it), unlike a scaling attack."""
+    updates = _make_updates(rng, n=12, d=64)
+    mal = jnp.zeros((12,)).at[jnp.array([0, 1, 2])].set(1.0)
+    atk = get_attack("alie", {"num_malicious": 3})
+    out = np.asarray(atk.poison_updates(
+        jax.random.PRNGKey(0), updates, jnp.zeros((64,)), mal, 12))
+    ben = out[3:]
+    crafted = out[0]
+    cd = np.linalg.norm(crafted[None] - ben, axis=1).max()
+    bd = np.linalg.norm(ben[:, None] - ben[None], axis=2).max()
+    assert cd < 1.5 * bd  # same scale as the benign pairwise spread
+
+
+# ---------------------------------------------------------- centered clip ---
+def test_centered_clip_passes_honest_updates(rng):
+    updates = jnp.asarray(rng.normal(3.0, 0.01, (8, 16)).astype(np.float32))
+    d = get_defense("centered_clip", {"tau": 10.0, "iters": 5})
+    agg, _ = d.aggregate_with_aux(updates, jnp.ones((8,)),
+                                  {"global": jnp.full((16,), 3.0)})
+    np.testing.assert_allclose(np.asarray(agg),
+                               np.asarray(updates).mean(0), atol=1e-3)
+
+
+def test_centered_clip_bounds_outlier_bias(rng):
+    """One 1000-scale outlier among 8 moves the center by at most
+    tau * iters / n (paper's per-iteration bound)."""
+    tau, iters, n = 1.0, 3, 8
+    benign = rng.normal(0.0, 0.05, (n - 1, 16)).astype(np.float32)
+    outl = 1000.0 * np.ones((1, 16), np.float32)
+    updates = jnp.asarray(np.concatenate([benign, outl]))
+    d = get_defense("centered_clip", {"tau": tau, "iters": iters})
+    agg, _ = d.aggregate_with_aux(updates, jnp.ones((n,)),
+                                  {"global": jnp.zeros((16,))})
+    bias = float(jnp.linalg.norm(agg - jnp.asarray(benign.mean(0))))
+    assert bias <= tau * iters / n + 0.1
+    # Detection flags the outlier (it stays > tau from the center).
+    det = np.asarray(d.detect(updates, jnp.ones((n,)),
+                              {"global": jnp.zeros((16,))}))
+    assert det[-1] == 1.0 and det[:-1].sum() == 0
+
+
+def test_centered_clip_state_carries_across_rounds(rng):
+    """aggregate_stateful warm-starts from the previous round's center."""
+    d = get_defense("centered_clip", {"tau": 5.0, "iters": 5})
+    updates = jnp.asarray(rng.normal(1.0, 0.01, (6, 8)).astype(np.float32))
+    state = d.init_state(6, 8)
+    agg1, _, state = d.aggregate_stateful(
+        updates, jnp.ones((6,)), {"global": jnp.zeros((8,))}, state)
+    np.testing.assert_allclose(np.asarray(state), np.asarray(agg1))
+    # Second round: centers near 1.0 already; one iteration suffices.
+    agg2, _, _ = d.aggregate_stateful(
+        updates, jnp.ones((6,)), {"global": jnp.zeros((8,))}, state)
+    np.testing.assert_allclose(np.asarray(agg2),
+                               np.asarray(updates).mean(0), atol=1e-3)
+
+
+def test_centered_clip_resists_alie_better_than_median(rng):
+    """The pairing these plugins exist for (Karimireddy'21 §5): ALIE's
+    coordinated small bias moves the coordinate median, while centered
+    clipping bounds the drift."""
+    n, dim = 10, 64
+    benign = rng.normal(0.0, 1.0, (n - 4, dim)).astype(np.float32)
+    updates0 = jnp.asarray(np.concatenate(
+        [np.zeros((4, dim), np.float32), benign]))
+    mal = jnp.zeros((n,)).at[jnp.arange(4)].set(1.0)
+    atk = get_attack("alie", {"num_malicious": 4})
+    updates = atk.poison_updates(jax.random.PRNGKey(1), updates0,
+                                 jnp.zeros((dim,)), mal, n)
+    true_mean = benign.mean(0)
+
+    med, _ = get_defense("median").aggregate_with_aux(updates, jnp.ones((n,)))
+    cc, _ = get_defense("centered_clip", {"tau": 2.0, "iters": 5}).\
+        aggregate_with_aux(updates, jnp.ones((n,)),
+                           {"global": jnp.asarray(true_mean)})
+    med_err = float(np.linalg.norm(np.asarray(med) - true_mean))
+    cc_err = float(np.linalg.norm(np.asarray(cc) - true_mean))
+    assert cc_err < med_err

@@ -241,7 +241,7 @@ def test_launcher_spawns_real_processes(tmp_path):
          "multimodal_fl_security_tpu.runtime.launcher",
          "--config-json", json.dumps(config), "--port", str(port),
          "--platform", "cpu"],
-        capture_output=True, text=True, timeout=420, env=env,
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]

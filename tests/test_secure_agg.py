@@ -1,0 +1,256 @@
+"""Secure aggregation: primitives (mask cancellation, dropout recovery,
+fixed-point precision) + the full TCP protocol (masked run must equal the
+cleartext FedAvg run; mid-run dropout must be unmasked and survived)."""
+
+import socket as sk
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from multimodal_fl_security_tpu.runtime.secure_agg import (
+    SECAGG_COMPATIBLE_DEFENSES,
+    SecAggClient,
+    SecAggServerRound,
+    decode_fixed,
+    encode_fixed,
+    expand_mask,
+    generate_keypair,
+    shared_seed,
+)
+
+
+def _connected_clients(n, **kw):
+    clients = [SecAggClient(i, **kw) for i in range(n)]
+    pubs = {str(c.client_id): c.public_key_hex() for c in clients}
+    for c in clients:
+        c.set_peer_keys(pubs)
+    return clients
+
+
+def test_shared_seed_symmetric_and_round_bound():
+    xa, ya = generate_keypair()
+    xb, yb = generate_keypair()
+    assert shared_seed(xa, yb, 1) == shared_seed(xb, ya, 1)
+    assert shared_seed(xa, yb, 1) != shared_seed(xa, yb, 2)
+
+
+def test_fixed_point_roundtrip_with_negatives():
+    v = np.array([-3.25, 0.0, 1.5, -31.9, 31.9])
+    np.testing.assert_allclose(decode_fixed(encode_fixed(v)), v, atol=1e-4)
+
+
+def test_masks_cancel_exactly_in_the_sum():
+    clients = _connected_clients(5)
+    dim = 257
+    rng = np.random.default_rng(1)
+    deltas = [rng.normal(0, 0.2, dim) for _ in range(5)]
+    parts = list(range(5))
+    masked = [c.mask_update(deltas[i], 1.0, 7, parts)
+              for i, c in enumerate(clients)]
+    plain = [encode_fixed(d) for d in deltas]
+    # Bitwise equality: the pairwise masks cancel EXACTLY mod 2**64.
+    np.testing.assert_array_equal(sum(masked), sum(plain))
+
+
+def test_single_masked_vector_hides_the_plaintext():
+    clients = _connected_clients(3)
+    d = np.full(512, 0.125)
+    m = clients[0].mask_update(d, 1.0, 1, [0, 1, 2])
+    plain = encode_fixed(d)
+    assert np.mean(m == plain) < 0.01  # one-time-pad-like
+
+
+def test_weighted_mean_decode_and_dropout_recovery():
+    clients = _connected_clients(4)
+    dim = 1000
+    rng = np.random.default_rng(0)
+    deltas = [rng.normal(0, 0.1, dim) for _ in range(4)]
+    weights = [100.0, 200.0, 50.0, 300.0]
+    parts = [0, 1, 2, 3]
+
+    rd = SecAggServerRound(dim)
+    for c, d, w in zip(clients, deltas, weights):
+        rd.add(c.client_id, c.mask_update(d, w, 1, parts), w)
+    want = sum(w * d for w, d in zip(weights, deltas)) / sum(weights)
+    np.testing.assert_allclose(rd.weighted_mean_delta(), want, atol=1e-4)
+
+    # Client 2 drops after masks were committed: survivors reveal seeds,
+    # the server strips the uncancelled masks.
+    rd2 = SecAggServerRound(dim)
+    alive = [0, 1, 3]
+    for i in alive:
+        rd2.add(i, clients[i].mask_update(deltas[i], weights[i], 2, parts),
+                weights[i])
+    revealed = {i: clients[i].reveal_seeds([2], 2) for i in alive}
+    rd2.strip_dropout_masks(revealed, [2])
+    want2 = (sum(weights[i] * deltas[i] for i in alive)
+             / sum(weights[i] for i in alive))
+    np.testing.assert_allclose(rd2.weighted_mean_delta(), want2, atol=1e-4)
+
+
+def test_expand_mask_deterministic_and_seed_sensitive():
+    s1, s2 = b"a" * 32, b"b" * 32
+    np.testing.assert_array_equal(expand_mask(s1, 64), expand_mask(s1, 64))
+    assert np.mean(expand_mask(s1, 64) == expand_mask(s2, 64)) < 0.1
+
+
+def test_server_rejects_update_inspecting_defense():
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+
+    assert "krum" not in SECAGG_COMPATIBLE_DEFENSES
+    with pytest.raises(ValueError, match="secure aggregation"):
+        FLServer(np.zeros(10, np.float32), num_clients=3, num_rounds=1,
+                 defense_type="krum", secure_aggregation=True)
+
+
+# ---------------------------------------------------------------------------
+# Full-protocol integration over localhost TCP
+# ---------------------------------------------------------------------------
+
+def _free_port():
+    s = sk.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_secagg_run_matches_cleartext_fedavg():
+    """The server must end at the same global model whether it saw the
+    updates in the clear or only their masked sum (up to the fixed-point
+    quantization, < 2**-16 per coordinate per client)."""
+    from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.runtime.client import FLClient
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+
+    base = {
+        "dataset": "synthetic",
+        "dataset_params": {"num_train": 256, "num_test": 100},
+        "num_clients": 3, "batch_size": 16, "local_epochs": 1,
+        "learning_rate": 0.05, "partition": "iid",
+    }
+    ds = load_dataset("synthetic", "train", **base["dataset_params"])
+    model = create_model("simple_cnn", num_classes=10)
+    template = init_model(model, {k: v[:16] for k, v in ds.arrays.items()},
+                          seed=0)["params"]
+    flat0 = np.asarray(flatten_tree(template), np.float32)
+
+    finals = {}
+    for mode in ("clear", "secagg"):
+        cfg = dict(base, secure_aggregation=(mode == "secagg"))
+        port = _free_port()
+        server = FLServer(flat0, num_clients=3, num_rounds=2,
+                          host="127.0.0.1", port=port,
+                          secure_aggregation=(mode == "secagg"))
+        clients = [FLClient(i, cfg) for i in range(3)]
+        for c in clients:
+            c.fit(flat0, 0)  # warm the jit sequentially
+        st = threading.Thread(
+            target=lambda: finals.__setitem__(mode, server.serve()))
+        st.start()
+        time.sleep(0.3)
+        cts = [threading.Thread(target=c.run, kwargs={"port": port})
+               for c in clients]
+        for t in cts:
+            t.start()
+        st.join(timeout=300)
+        for t in cts:
+            t.join(timeout=60)
+        assert mode in finals, f"{mode} server did not finish"
+        if mode == "secagg":
+            assert all(h.get("secure_aggregation") for h in server.history)
+            assert all(not h["aborted"] for h in server.history)
+
+    # Client training is deterministic (seeded keys), so the only
+    # difference is the fixed-point quantization of 3 clients x 2 rounds.
+    np.testing.assert_allclose(finals["secagg"], finals["clear"], atol=5e-4)
+
+
+@pytest.mark.slow
+def test_secagg_dropout_is_unmasked_and_survived():
+    """A participant that dies before replying in round 2 leaves
+    uncancelled masks; the server runs the unmask round with the
+    survivors and the global model stays clean (finite, near the
+    cleartext result of the survivors)."""
+    from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.runtime.client import FLClient
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+    from multimodal_fl_security_tpu.runtime.transport import recv_msg, send_msg
+
+    base = {
+        "dataset": "synthetic",
+        "dataset_params": {"num_train": 256, "num_test": 100},
+        "num_clients": 3, "batch_size": 16, "local_epochs": 1,
+        "learning_rate": 0.05, "partition": "iid",
+        "secure_aggregation": True,
+    }
+    ds = load_dataset("synthetic", "train", **base["dataset_params"])
+    model = create_model("simple_cnn", num_classes=10)
+    template = init_model(model, {k: v[:16] for k, v in ds.arrays.items()},
+                          seed=0)["params"]
+    flat0 = np.asarray(flatten_tree(template), np.float32)
+
+    port = _free_port()
+    server = FLServer(flat0, num_clients=3, num_rounds=2,
+                      host="127.0.0.1", port=port, fit_timeout=120.0,
+                      secure_aggregation=True)
+    result = {}
+    st = threading.Thread(target=lambda: result.update(f=server.serve()))
+    st.start()
+    time.sleep(0.3)
+
+    clients = [FLClient(i, base) for i in range(2)]
+    for c in clients:
+        c.fit(flat0, 0)
+    cts = [threading.Thread(target=c.run, kwargs={"port": port})
+           for c in clients]
+    for t in cts:
+        t.start()
+
+    # Flaky third participant: real keys + real masks in round 1, then
+    # dies before replying to round 2's fit.
+    def flaky():
+        sec = SecAggClient(2)
+        sock = sk.create_connection(("127.0.0.1", port), timeout=120)
+        send_msg(sock, {"type": "hello", "client_id": 2,
+                        "secagg_pub": sec.public_key_hex()})
+        while True:
+            msg = recv_msg(sock)
+            if msg.get("type") == "secagg_keys":
+                sec.set_peer_keys(msg["pubs"])
+            elif msg.get("type") == "fit":
+                if msg["round"] >= 2:
+                    sock.close()  # die with masks outstanding
+                    return
+                delta = np.zeros_like(flat0, dtype=np.float64)
+                send_msg(sock, {
+                    "client_id": 2, "num_examples": 1,
+                    "metrics": {"loss": 0.0},
+                    "masked": sec.mask_update(delta, 1, msg["round"],
+                                              msg["participants"]),
+                })
+
+    ft = threading.Thread(target=flaky)
+    ft.start()
+    st.join(timeout=300)
+    ft.join(timeout=60)
+    for t in cts:
+        t.join(timeout=60)
+
+    assert "f" in result, "server did not finish"
+    assert len(server.history) == 2
+    assert server.history[0]["num_failures"] == 0
+    assert server.history[1]["num_failures"] == 1
+    assert not server.history[1]["aborted"]
+    assert server.history[1]["num_participants"] == 2
+    assert np.all(np.isfinite(result["f"]))
+    # Unmasking worked: params moved by a sane amount, not by leftover
+    # 2**64-scale mask garbage.
+    assert np.max(np.abs(result["f"] - flat0)) < 50.0
