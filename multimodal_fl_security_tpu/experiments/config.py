@@ -36,6 +36,14 @@ class ExperimentConfig:
     weight_decay: float = 0.0
     clip_norm: float = 1.0  # reference clips grads at 1.0 (run_experiments.py:231)
     augment: str = "none"  # on-device train-time augmentation (flip/crop)
+    # FedProx proximal coefficient on local training (0 = plain FedAvg,
+    # the reference's only mode); see rounds/engine.py TrainSpec.
+    fedprox_mu: float = 0.0
+    # Server-side optimizer over the aggregated pseudo-gradient
+    # ("none" = reference replace-update; fedavgm/fedadagrad/fedadam/
+    # fedyogi per rounds/server_opt.py). Params: server_lr/beta1/beta2/tau.
+    server_optimizer: str = "none"
+    server_opt_params: Dict[str, Any] = field(default_factory=dict)
     partition: str = "iid"
     alpha: float = 0.5
     partition_seed: int = 42

@@ -139,7 +139,12 @@ class ExperimentRunner:
             local_epochs=config.local_epochs,
             batch_size=config.batch_size,
             augment=config.augment,
+            fedprox_mu=config.fedprox_mu,
         )
+        from multimodal_fl_security_tpu.rounds.server_opt import (
+            make_server_optimizer,
+        )
+
         engine = RoundEngine(
             model,
             client_data,
@@ -150,6 +155,9 @@ class ExperimentRunner:
             root_data=root_data,
             mesh=mesh,
             clients_per_round=config.clients_per_round,
+            server_opt=make_server_optimizer(
+                config.server_optimizer, config.server_opt_params
+            ),
         )
 
         # Evaluation programs (built once; jit caches inside).

@@ -80,6 +80,11 @@ class TrainSpec:
     #: "none" | "flip" | "crop" | "crop_flip" — on-device train-time
     #: augmentation (data/preprocess.py::make_augment_fn)
     augment: str = "none"
+    #: FedProx (Li et al., MLSys'20) proximal coefficient: adds
+    #: mu/2 * ||w - w_global||^2 to every local step's loss, anchoring
+    #: heterogeneous clients to the round-start global. 0 = plain FedAvg
+    #: local training (the reference's only mode).
+    fedprox_mu: float = 0.0
 
 
 def make_local_train_fn(model, spec: TrainSpec, n_samples: int) -> Callable:
@@ -98,7 +103,9 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int) -> Callable:
 
     augment = make_augment_fn(spec.augment)
 
-    def loss_fn(params, batch, bmask, step_key):
+    mu = float(spec.fedprox_mu)
+
+    def loss_fn(params, batch, bmask, step_key, anchor):
         if augment is not None:
             akey, dropout_key = jax.random.split(step_key)
             batch = augment(akey, batch)
@@ -107,9 +114,22 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int) -> Callable:
         logits = model.apply(
             {"params": params}, batch, train=True, rngs={"dropout": dropout_key}
         )
-        return cross_entropy(logits, batch["label"], bmask)
+        loss = cross_entropy(logits, batch["label"], bmask)
+        if mu > 0.0:
+            # FedProx proximal term; ``anchor`` is the round-start global
+            # (not differentiated — it enters as a plain argument).
+            sq = sum(
+                jnp.sum(jnp.square(p.astype(jnp.float32) - a.astype(jnp.float32)))
+                for p, a in zip(
+                    jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(anchor),
+                )
+            )
+            loss = loss + 0.5 * mu * sq
+        return loss
 
     def local_train(params, data, mask, key):
+        anchor = params  # round-start global = the FedProx anchor
         opt_state = opt.init(params)
 
         def epoch_fn(carry, ekey):
@@ -126,7 +146,7 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int) -> Callable:
                 batch = {k: v[idx] for k, v in data.items()}
                 bmask = mask[idx]
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    params, batch, bmask, skey
+                    params, batch, bmask, skey, anchor
                 )
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -160,6 +180,7 @@ class RoundEngine:
         root_data: Optional[Dict[str, np.ndarray]] = None,
         mesh=None,
         clients_per_round: Optional[int] = None,
+        server_opt=None,
     ):
         from multimodal_fl_security_tpu.attacks.base import NoAttack
         from multimodal_fl_security_tpu.defenses.base import NoDefense
@@ -214,6 +235,12 @@ class RoundEngine:
         self._defense_stateful = bool(getattr(self.defense, "stateful", False))
         self._defense_state = None
 
+        # Optional server-side optimizer (rounds/server_opt.py): the
+        # aggregate becomes a pseudo-gradient; its [D]-vector moments are
+        # threaded through the jitted round like defense state.
+        self.server_opt = server_opt
+        self._server_opt_state = None
+
         self._round_fn = jax.jit(self._build_round_fn())
         self._detect_fn = None  # built lazily, once, by detect_malicious
 
@@ -250,8 +277,10 @@ class RoundEngine:
 
         stateful = self._defense_stateful
 
+        server_opt = self.server_opt
+
         def round_fn(params, key, arrays, mask, counts, malicious_mask,
-                     defense_state):
+                     defense_state, server_opt_state):
             global_flat = flatten_tree(params)
             if k_sample is not None:
                 # Sample a participant subset (without replacement) and
@@ -293,6 +322,10 @@ class RoundEngine:
                 agg, aux, new_state = *defense.aggregate_with_aux(
                     updates, counts, ctx
                 ), defense_state
+            if server_opt is not None:
+                agg, server_opt_state = server_opt.apply(
+                    global_flat, agg, server_opt_state
+                )
             new_params = unflatten_tree(params, agg)
 
             metrics = {
@@ -302,7 +335,7 @@ class RoundEngine:
                 ),
                 **aux,
             }
-            return new_params, metrics, new_state
+            return new_params, metrics, new_state, server_opt_state
 
         return round_fn
 
@@ -319,15 +352,20 @@ class RoundEngine:
             self._defense_state = self.defense.init_state(
                 self.num_clients, dim
             )
+        if self.server_opt is not None and self._server_opt_state is None:
+            dim = int(flatten_tree(params).shape[0])
+            self._server_opt_state = self.server_opt.init_state(dim)
 
     def run_round(self, params, key) -> Tuple[Any, Dict[str, jnp.ndarray]]:
         self._ensure_defense_state(params)
-        new_params, metrics, new_state = self._round_fn(
+        new_params, metrics, new_state, so_state = self._round_fn(
             params, key, self.arrays, self.mask, self.counts,
-            self.malicious_mask, self._defense_state,
+            self.malicious_mask, self._defense_state, self._server_opt_state,
         )
         if self._defense_stateful:
             self._defense_state = new_state
+        if self.server_opt is not None:
+            self._server_opt_state = so_state
         return new_params, metrics
 
     def run_rounds(self, params, key, num_rounds: int
@@ -342,24 +380,29 @@ class RoundEngine:
         round_fn = self._build_round_fn()
 
         @partial(jax.jit, static_argnames=("n",))
-        def multi(params, key, arrays, mask, counts, malicious, dstate, n):
+        def multi(params, key, arrays, mask, counts, malicious, dstate,
+                  sostate, n):
             def body(carry, r):
-                p, st = carry
+                p, st, so = carry
                 rkey = jax.random.fold_in(key, r)
-                new_p, metrics, new_st = round_fn(p, rkey, arrays, mask,
-                                                  counts, malicious, st)
-                return (new_p, new_st), metrics
+                new_p, metrics, new_st, new_so = round_fn(
+                    p, rkey, arrays, mask, counts, malicious, st, so
+                )
+                return (new_p, new_st, new_so), metrics
 
-            (p, st), metrics = jax.lax.scan(
-                body, (params, dstate), jnp.arange(n)
+            (p, st, so), metrics = jax.lax.scan(
+                body, (params, dstate, sostate), jnp.arange(n)
             )
-            return p, metrics, st
+            return p, metrics, st, so
 
-        p, metrics, st = multi(params, key, self.arrays, self.mask,
-                               self.counts, self.malicious_mask,
-                               self._defense_state, n=num_rounds)
+        p, metrics, st, so = multi(params, key, self.arrays, self.mask,
+                                   self.counts, self.malicious_mask,
+                                   self._defense_state,
+                                   self._server_opt_state, n=num_rounds)
         if self._defense_stateful:
             self._defense_state = st
+        if self.server_opt is not None:
+            self._server_opt_state = so
         return p, metrics
 
     def detect_malicious(self, params, key):

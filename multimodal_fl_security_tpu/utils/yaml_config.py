@@ -26,6 +26,9 @@ _NESTED_MAP = {
     ("server", "num_rounds"): "num_rounds",
     ("server", "num_clients"): "num_clients",
     ("server", "secure_aggregation"): "secure_aggregation",
+    ("server", "optimizer"): "server_optimizer",
+    ("server", "optimizer_params"): "server_opt_params",
+    ("client", "fedprox_mu"): "fedprox_mu",
     ("client", "local_epochs"): "local_epochs",
     ("client", "batch_size"): "batch_size",
     ("client", "learning_rate"): "learning_rate",
