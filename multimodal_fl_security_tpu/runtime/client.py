@@ -182,6 +182,20 @@ class FLClient:
                             msg["dropped"], msg["round"]
                         ),
                     })
+                elif msg.get("type") == "fit_async":
+                    # Async/buffered protocol (runtime/async_server.py):
+                    # reply with the DELTA plus the global version it was
+                    # computed against, so the server can staleness-weight.
+                    version = int(msg.get("version", 0))
+                    flat, n, metrics = self.fit(msg["params"], version)
+                    send_msg(sock, {
+                        "type": "update",
+                        "client_id": self.client_id,
+                        "version": version,
+                        "num_examples": n,
+                        "metrics": metrics,
+                        "delta": flat - np.asarray(msg["params"], np.float32),
+                    })
                 elif msg.get("type") == "fit":
                     flat, n, metrics = self.fit(msg["params"], msg["round"])
                     reply = {"num_examples": n,

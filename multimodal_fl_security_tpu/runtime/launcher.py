@@ -47,15 +47,34 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
     params = init_model(model, sample, seed=0)["params"]
     flat = np.asarray(flatten_tree(params), np.float32)
 
-    server = FLServer(
-        flat,
-        num_clients=int(config["num_clients"]),
-        num_rounds=int(config.get("num_rounds", 3)),
-        defense_type=config.get("defense_type", "none"),
-        defense_config=config.get("defense_params", {}),
-        port=port,
-        secure_aggregation=bool(config.get("secure_aggregation", False)),
-    )
+    if config.get("aggregation_mode", "sync") == "async":
+        # Buffered asynchronous aggregation (runtime/async_server.py).
+        from multimodal_fl_security_tpu.runtime.async_server import (
+            AsyncFLServer,
+        )
+
+        server = AsyncFLServer(
+            flat,
+            num_clients=int(config["num_clients"]),
+            num_aggregations=int(config.get("num_aggregations",
+                                            config.get("num_rounds", 3))),
+            buffer_size=int(config.get("buffer_size", 2)),
+            server_lr=float(config.get("server_lr", 1.0)),
+            staleness_exponent=float(config.get("staleness_exponent", 0.5)),
+            defense_type=config.get("defense_type", "none"),
+            defense_config=config.get("defense_params", {}),
+            port=port,
+        )
+    else:
+        server = FLServer(
+            flat,
+            num_clients=int(config["num_clients"]),
+            num_rounds=int(config.get("num_rounds", 3)),
+            defense_type=config.get("defense_type", "none"),
+            defense_config=config.get("defense_params", {}),
+            port=port,
+            secure_aggregation=bool(config.get("secure_aggregation", False)),
+        )
     final = server.serve()
 
     from multimodal_fl_security_tpu.core.pytrees import unflatten_tree
@@ -70,9 +89,14 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
         "final_accuracy": stats["accuracy"],
         "final_loss": stats["loss"],
         "rounds": len(server.history),
-        "total_failures": sum(h["num_failures"] for h in server.history),
-        "final_participants": (server.history[-1]["num_participants"]
-                               if server.history else 0),
+        "total_failures": sum(
+            h.get("num_failures", 0) for h in server.history
+        ),
+        "final_participants": (
+            server.history[-1].get("num_participants",
+                                   server.history[-1].get("buffer_size", 0))
+            if server.history else 0
+        ),
     }))
 
 
