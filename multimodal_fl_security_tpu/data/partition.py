@@ -130,3 +130,48 @@ def analyze_partition(labels: np.ndarray,
         "size_max": int(sizes.max()),
         "mean_emd": float(np.mean([s["emd_to_global"] for s in stats])),
     }
+
+
+def partition_matching(
+    ref_labels: np.ndarray,
+    ref_indices: List[np.ndarray],
+    labels: np.ndarray,
+    seed: int = 42,
+) -> List[np.ndarray]:
+    """Partition ``labels``' samples so each client's class mix matches its
+    mix in a reference partition (e.g. give every client a TEST shard
+    distributed like its TRAIN shard, for personalized evaluation —
+    rounds/personalization.py).
+
+    Same-seed ``partition_data`` calls on two datasets do NOT line up: the
+    Dirichlet stream's consumption depends on the label array. Here the
+    per-class apportionment is computed from the reference shard histograms
+    directly (largest-remainder rounding, so every sample lands on exactly
+    one client).
+    """
+    rng = np.random.RandomState(seed)
+    num_clients = len(ref_indices)
+    num_classes = int(max(ref_labels.max(), labels.max())) + 1
+    want = np.zeros((num_clients, num_classes), np.float64)
+    for i, ix in enumerate(ref_indices):
+        want[i] = np.bincount(ref_labels[ix], minlength=num_classes)
+
+    out: List[List[int]] = [[] for _ in range(num_clients)]
+    for k in range(num_classes):
+        pool = np.where(labels == k)[0]
+        rng.shuffle(pool)
+        weights = want[:, k]
+        total = weights.sum()
+        if total <= 0:
+            weights = np.ones(num_clients)  # class absent upstream: spread
+            total = float(num_clients)
+        exact = weights / total * len(pool)
+        base = np.floor(exact).astype(int)
+        rem = len(pool) - base.sum()
+        order = np.argsort(-(exact - base))
+        base[order[:rem]] += 1
+        off = 0
+        for i in range(num_clients):
+            out[i].extend(pool[off : off + base[i]].tolist())
+            off += base[i]
+    return [np.asarray(sorted(ix), dtype=np.int64) for ix in out]

@@ -84,6 +84,12 @@ class ExperimentConfig:
     checkpoint_every: int = 10
     checkpoint_dir: Optional[str] = None
     resume_from_checkpoint: bool = False
+    # Personalized evaluation (rounds/personalization.py): each client
+    # fine-tunes the final global on its own shard and is scored on a test
+    # shard partitioned with the same strategy/seed. Results land in
+    # extra_metrics["personalization"].
+    personalized_eval: bool = False
+    personalization_epochs: int = 1
     # Per-round observability (reference tracks ASR only at the end;
     # tracking.py-equivalent per-round logging is opt-in here).
     eval_asr_every_round: bool = False

@@ -280,6 +280,45 @@ class ExperimentRunner:
         if accounts_privacy:
             extra_metrics["privacy"] = defense.privacy_spent()
 
+        if config.personalized_eval:
+            import dataclasses as _dc
+
+            from multimodal_fl_security_tpu.rounds.personalization import (
+                personalized_evaluation,
+            )
+
+            from multimodal_fl_security_tpu.data.partition import (
+                partition_matching,
+            )
+
+            # Per-client test shards whose class mix MATCHES each client's
+            # train shard (same-seed partition_data on a different label
+            # array does not line up), so each client is scored on its own
+            # distribution.
+            test_indices = partition_matching(
+                train.labels, client_indices, test.labels,
+                seed=config.partition_seed,
+            )
+            test_cd = _stack_shards(
+                [test.subset(ix) for ix in test_indices],
+                test.num_classes, config.batch_size,
+            )
+            pe = personalized_evaluation(
+                model, params,
+                _dc.replace(spec, local_epochs=config.personalization_epochs),
+                client_data, test_cd,
+            )
+            p_acc = np.asarray(pe["personalized_accuracy"])
+            g_acc = np.asarray(pe["global_accuracy"])
+            extra_metrics["personalization"] = {
+                "personalized_accuracy_mean": float(p_acc.mean()),
+                "personalized_accuracy_std": float(p_acc.std()),
+                "global_accuracy_on_client_dists_mean": float(g_acc.mean()),
+                "personalized_accuracy_per_client": p_acc.tolist(),
+                "global_accuracy_per_client": g_acc.tolist(),
+                "personalization_epochs": config.personalization_epochs,
+            }
+
         results = ExperimentResults(
             config=config,
             round_accuracies=round_accuracies,
