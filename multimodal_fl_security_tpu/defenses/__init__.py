@@ -22,8 +22,10 @@ from multimodal_fl_security_tpu.defenses import trimmed_mean  # noqa: F401
 from multimodal_fl_security_tpu.defenses import differential_privacy  # noqa: F401
 from multimodal_fl_security_tpu.defenses import fltrust  # noqa: F401
 # Beyond-reference: Bulyan (El Mhamdi et al. ICML'18), FoolsGold
-# (Fung et al. RAID'20, stateful sybil defense), and centered clipping
-# (Karimireddy et al. ICML'21, stateful momentum defense).
+# (Fung et al. RAID'20, stateful sybil defense), centered clipping
+# (Karimireddy et al. ICML'21, stateful momentum defense), and DnC
+# (Shejwalkar & Houmansadr NDSS'21, spectral filtering).
 from multimodal_fl_security_tpu.defenses import bulyan  # noqa: F401
 from multimodal_fl_security_tpu.defenses import foolsgold  # noqa: F401
 from multimodal_fl_security_tpu.defenses import centered_clip  # noqa: F401
+from multimodal_fl_security_tpu.defenses import dnc  # noqa: F401

@@ -105,15 +105,16 @@ class FLClient:
         )
         self._train = jax.jit(make_local_train_fn(self.model, spec, n))
 
-        # Optional int8 uplink compression with error feedback
-        # (runtime/compression.py; beyond-reference).
-        self._compressor = None
-        if config.get("compression") == "int8":
-            from multimodal_fl_security_tpu.runtime.compression import (
-                Int8UplinkCompressor,
-            )
+        # Optional uplink compression with error feedback
+        # (runtime/compression.py; beyond-reference): "int8", "topk",
+        # or "topk8" (top-k indices + int8 values).
+        from multimodal_fl_security_tpu.runtime.compression import (
+            make_compressor,
+        )
 
-            self._compressor = Int8UplinkCompressor()
+        self._compressor = make_compressor(
+            config.get("compression"), config
+        )
 
         # Optional secure aggregation (runtime/secure_agg.py): pairwise
         # masks hide this client's update from the server.

@@ -54,11 +54,82 @@ class Int8UplinkCompressor:
         return {"q_delta": q, "q_scale": scale, "compression": self.name}
 
 
+class TopKUplinkCompressor:
+    """Top-k sparsification with error feedback (Stich et al. NeurIPS'18,
+    "Sparsified SGD with Memory"): send only the ``ratio`` largest-|.|
+    delta coordinates; everything dropped joins the residual and is
+    retried next round, so every coordinate eventually flushes.
+
+    Wire cost per parameter kept: 4-byte index + 4-byte value (or 1-byte
+    value with ``quantize=True``, int8 over the kept set). At ratio 0.01
+    that is ~2% (~1.3% quantized) of the dense float32 uplink.
+    """
+
+    name = "topk"
+
+    def __init__(self, ratio: float = 0.01, quantize: bool = False):
+        self.ratio = float(ratio)
+        self.quantize = bool(quantize)
+        self._residual: Optional[np.ndarray] = None
+
+    def compress(self, update: np.ndarray,
+                 global_flat: np.ndarray) -> Dict[str, object]:
+        delta = update.astype(np.float32) - np.asarray(global_flat, np.float32)
+        if self._residual is not None:
+            delta = delta + self._residual
+        d = delta.shape[0]
+        k = max(1, int(round(self.ratio * d)))
+        idx = np.argpartition(np.abs(delta), d - k)[d - k:]
+        vals = delta[idx]
+        self._residual = delta.copy()
+        self._residual[idx] = 0.0
+        out: Dict[str, object] = {
+            "sp_idx": idx.astype(np.uint32),
+            "compression": self.name,
+        }
+        if self.quantize:
+            q, scale = quantize_delta(vals)
+            out["sp_qval"] = q
+            out["sp_scale"] = scale
+            # error feedback also covers the value quantization
+            self._residual[idx] = vals - dequantize_delta(q, scale)
+        else:
+            out["sp_val"] = vals.astype(np.float32)
+        return out
+
+
+def make_compressor(name: Optional[str], config: Optional[Dict] = None):
+    """Factory for the client's uplink compressor; None/"" = no compression."""
+    cfg = config or {}
+    if not name:
+        return None
+    if name == "int8":
+        return Int8UplinkCompressor()
+    if name in ("topk", "topk8"):
+        return TopKUplinkCompressor(
+            ratio=float(cfg.get("topk_ratio", 0.01)),
+            quantize=(name == "topk8") or bool(cfg.get("topk_quantize")),
+        )
+    raise ValueError(f"unknown compression {name!r} "
+                     "(available: int8, topk, topk8)")
+
+
 def decompress_reply(reply: Dict[str, object],
                      global_flat: np.ndarray) -> np.ndarray:
     """Server-side: reconstruct the float32 update from a fit reply."""
+    g = np.asarray(global_flat, np.float32)
     if reply.get("compression") == "int8":
         delta = dequantize_delta(np.asarray(reply["q_delta"]),
                                  float(reply["q_scale"]))
-        return np.asarray(global_flat, np.float32) + delta
+        return g + delta
+    if reply.get("compression") == "topk":
+        delta = np.zeros_like(g)
+        idx = np.asarray(reply["sp_idx"], np.int64)
+        if "sp_qval" in reply:
+            delta[idx] = dequantize_delta(
+                np.asarray(reply["sp_qval"]), float(reply["sp_scale"])
+            )
+        else:
+            delta[idx] = np.asarray(reply["sp_val"], np.float32)
+        return g + delta
     return np.asarray(reply["params"], np.float32)

@@ -115,3 +115,81 @@ def test_compressed_fl_round_learns():
     stats = evaluate_model(model, final, test)
     assert np.isfinite(stats["loss"])
     assert stats["accuracy"] > 0.3  # learns through the quantized uplink
+
+
+# ------------------------------------------------------------------ top-k ---
+def test_topk_keeps_largest_and_residual_flushes(rng):
+    from multimodal_fl_security_tpu.runtime.compression import (
+        TopKUplinkCompressor,
+    )
+
+    d = 10_000
+    g = np.zeros(d, np.float32)
+    delta = rng.normal(0, 0.01, size=(d,)).astype(np.float32)
+    delta[:5] = [5.0, -4.0, 3.0, -2.0, 1.0]  # dominant coordinates
+    c = TopKUplinkCompressor(ratio=0.0005)  # k = 5
+    reply = c.compress(g + delta, g)
+    assert set(np.asarray(reply["sp_idx"]).tolist()) == {0, 1, 2, 3, 4}
+    rec = decompress_reply(reply, g)
+    np.testing.assert_allclose(rec[:5], delta[:5], rtol=1e-6)
+
+    # Error feedback: the dropped mass lives in the residual and flushes
+    # over later rounds (k=500/round drains all 10k coords in 20 rounds).
+    c2 = TopKUplinkCompressor(ratio=0.05)
+    total_flushed = np.zeros_like(delta)
+    total_flushed += decompress_reply(c2.compress(g + delta, g), g) - g
+    for _ in range(20):
+        total_flushed += decompress_reply(c2.compress(g, g), g) - g
+    np.testing.assert_allclose(total_flushed, delta, atol=1e-6)
+
+
+def test_topk8_quantized_values(rng):
+    from multimodal_fl_security_tpu.runtime.compression import (
+        make_compressor,
+    )
+
+    d = 4096
+    g = np.zeros(d, np.float32)
+    update = rng.normal(0, 0.1, size=(d,)).astype(np.float32)
+    c = make_compressor("topk8", {"topk_ratio": 0.05})
+    reply = c.compress(update, g)
+    assert "sp_qval" in reply and reply["sp_qval"].dtype == np.int8
+    rec = decompress_reply(reply, g)
+    kept = np.asarray(reply["sp_idx"], np.int64)
+    scale = float(reply["sp_scale"])
+    assert np.abs(rec[kept] - update[kept]).max() <= scale / 2 + 1e-9
+
+
+def test_topk_wire_size(rng):
+    from multimodal_fl_security_tpu.runtime.compression import (
+        make_compressor,
+    )
+
+    d = 100_000
+    g = np.zeros(d, np.float32)
+    update = rng.normal(0, 0.1, size=(d,)).astype(np.float32)
+    dense = len(_encode({"params": update}))
+    c = make_compressor("topk", {"topk_ratio": 0.01})
+    sparse = len(_encode(c.compress(update, g)))
+    assert sparse < dense * 0.03, (sparse, dense)
+    c8 = make_compressor("topk8", {"topk_ratio": 0.01})
+    sparse8 = len(_encode(c8.compress(update, g)))
+    assert sparse8 < dense * 0.015, (sparse8, dense)
+
+
+def test_make_compressor_factory():
+    import pytest
+
+    from multimodal_fl_security_tpu.runtime.compression import (
+        Int8UplinkCompressor,
+        TopKUplinkCompressor,
+        make_compressor,
+    )
+
+    assert make_compressor(None) is None
+    assert make_compressor("") is None
+    assert isinstance(make_compressor("int8"), Int8UplinkCompressor)
+    assert isinstance(make_compressor("topk"), TopKUplinkCompressor)
+    assert make_compressor("topk8").quantize
+    with pytest.raises(ValueError):
+        make_compressor("gzip")
