@@ -26,23 +26,36 @@ def run_one(num_clients: int) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from multimodal_fl_security_tpu.data.datasets import load_dataset
-    from multimodal_fl_security_tpu.data.partition import partition_data
-    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.data.stacking import ClientData
     from multimodal_fl_security_tpu.defenses import get_defense
     from multimodal_fl_security_tpu.models import create_model, init_model
     from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
 
     samples_per_client, batch_size = 600, 32
-    train = load_dataset(
-        "synthetic", "train",
-        num_train=num_clients * samples_per_client, num_test=1,
+    n_pad = ((samples_per_client + batch_size - 1) // batch_size) * batch_size
+
+    # Build the client-stacked data ON DEVICE: this host's memory runs at
+    # ~50 MB/s (measured, docs/performance.md), so a [C, N, 28, 28, 8]
+    # host array would take minutes to materialize and minutes more to
+    # ship over the tunnel; jax.random on the chip makes it instant.
+    kimg, klab = jax.random.split(jax.random.PRNGKey(0))
+    protos = jax.random.uniform(
+        jax.random.PRNGKey(1000), (10, 28, 28, 8), jnp.float32
     )
-    train.arrays["image"] = np.pad(
-        train.arrays["image"], ((0, 0), (0, 0), (0, 0), (0, 7))
+    labels = jax.random.randint(
+        klab, (num_clients, n_pad), 0, 10, jnp.int32
     )
-    idx = partition_data(train.labels, num_clients, "iid")
-    cd = stack_clients(train, idx, pad_multiple=batch_size)
+    images = protos[labels] + 0.35 * jax.random.normal(
+        kimg, (num_clients, n_pad, 28, 28, 8), jnp.float32
+    )
+    mask = np.zeros((num_clients, n_pad), np.float32)
+    mask[:, :samples_per_client] = 1.0
+    cd = ClientData(
+        arrays={"image": images, "label": labels},
+        mask=mask,
+        counts=np.full((num_clients,), samples_per_client, np.int32),
+        num_classes=10,
+    )
     model = create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
     sample = {k: v[0, :batch_size] for k, v in cd.arrays.items()}
     params = init_model(model, sample, seed=0)["params"]
@@ -51,6 +64,10 @@ def run_one(num_clients: int) -> dict:
                              batch_size=batch_size),
         defense=get_defense("krum", {"num_malicious": max(num_clients // 5, 1),
                                      "multi_k": 1}),
+        # Above 100 clients the axon service's compile of a C-wide vmap
+        # blows past 28 min; a 100-client chunk bounds compile time while
+        # the chip stays saturated.
+        client_chunk=100 if num_clients > 100 else None,
     )
     p, m = engine.run_round(params, jax.random.PRNGKey(0))
     float(m["client_loss_mean"])  # sync (block_until_ready unreliable here)

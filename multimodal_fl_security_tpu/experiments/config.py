@@ -28,6 +28,9 @@ class ExperimentConfig:
     model: Optional[str] = None  # None = dataset default
     num_clients: int = 5
     clients_per_round: Optional[int] = None  # None = all clients every round
+    # Compile-time bound for large client counts: vmap over chunks of this
+    # size inside a lax.map instead of one C-wide vmap (rounds/engine.py).
+    client_chunk: Optional[int] = None
     num_rounds: int = 5
     local_epochs: int = 2
     batch_size: int = 32

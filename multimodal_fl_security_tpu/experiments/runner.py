@@ -158,6 +158,7 @@ class ExperimentRunner:
             server_opt=make_server_optimizer(
                 config.server_optimizer, config.server_opt_params
             ),
+            client_chunk=config.client_chunk,
         )
 
         # Evaluation programs (built once; jit caches inside).

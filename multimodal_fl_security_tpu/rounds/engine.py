@@ -181,6 +181,7 @@ class RoundEngine:
         mesh=None,
         clients_per_round: Optional[int] = None,
         server_opt=None,
+        client_chunk: Optional[int] = None,
     ):
         from multimodal_fl_security_tpu.attacks.base import NoAttack
         from multimodal_fl_security_tpu.defenses.base import NoDefense
@@ -199,6 +200,22 @@ class RoundEngine:
             if not clients_per_round or clients_per_round >= self.num_clients
             else int(clients_per_round)
         )
+        # Chunked client axis: vmap over `client_chunk` clients inside a
+        # lax.map over chunks, so XLA compiles ONE chunk-sized body however
+        # large C grows. Measured necessity: the axon service's compile of
+        # the fully-vmapped round is minutes at C=100 but >28 min at C=200
+        # (grouped-conv group count drives compile cost superlinearly);
+        # a 100-client chunk already saturates the chip, so chunking costs
+        # little runtime and bounds compile time.
+        participants = self.clients_per_round or self.num_clients
+        self.client_chunk = None
+        if client_chunk and 0 < int(client_chunk) < participants:
+            if participants % int(client_chunk) != 0:
+                raise ValueError(
+                    f"client_chunk={client_chunk} must divide the "
+                    f"per-round participant count {participants}"
+                )
+            self.client_chunk = int(client_chunk)
 
         mal = np.zeros((self.num_clients,), np.float32)
         for i in malicious_clients or []:
@@ -296,9 +313,30 @@ class RoundEngine:
             else:
                 client_ids = jnp.arange(num_clients)
             ckeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(client_ids)
-            new_stacked, client_losses = jax.vmap(
-                self._local_train, in_axes=(None, 0, 0, 0)
-            )(params, arrays, mask, ckeys)
+            vtrain = jax.vmap(self._local_train, in_axes=(None, 0, 0, 0))
+            if self.client_chunk is None:
+                new_stacked, client_losses = vtrain(
+                    params, arrays, mask, ckeys
+                )
+            else:
+                ch = self.client_chunk
+                n_chunks = mask.shape[0] // ch
+
+                def chunk(xs):
+                    a, m, k = xs
+                    return vtrain(params, a, m, k)
+
+                new_stacked, client_losses = jax.lax.map(chunk, (
+                    {k: v.reshape((n_chunks, ch) + v.shape[1:])
+                     for k, v in arrays.items()},
+                    mask.reshape(n_chunks, ch, -1),
+                    ckeys.reshape((n_chunks, ch) + ckeys.shape[1:]),
+                ))
+                new_stacked = jax.tree_util.tree_map(
+                    lambda x: x.reshape((n_chunks * ch,) + x.shape[2:]),
+                    new_stacked,
+                )
+                client_losses = client_losses.reshape(-1)
 
             updates = flatten_stacked(new_stacked)  # [C, D]
 

@@ -120,6 +120,13 @@ class FLClient:
         # masks hide this client's update from the server.
         self._secagg = None
         if config.get("secure_aggregation"):
+            if self._compressor is not None:
+                raise ValueError(
+                    "secure_aggregation and compression are mutually "
+                    "exclusive: masking operates on the fixed-point-encoded "
+                    "delta, so a quantized/sparsified uplink cannot also be "
+                    "masked"
+                )
             from multimodal_fl_security_tpu.runtime.secure_agg import (
                 SecAggClient,
             )

@@ -254,3 +254,14 @@ def test_secagg_dropout_is_unmasked_and_survived():
     # Unmasking worked: params moved by a sane amount, not by leftover
     # 2**64-scale mask garbage.
     assert np.max(np.abs(result["f"] - flat0)) < 50.0
+
+
+def test_client_rejects_secagg_plus_compression():
+    from multimodal_fl_security_tpu.runtime.client import FLClient
+
+    cfg = {"dataset": "synthetic", "num_clients": 2,
+           "dataset_params": {"num_train": 64, "num_test": 16},
+           "batch_size": 16, "secure_aggregation": True,
+           "compression": "int8"}
+    with pytest.raises(ValueError, match="mutually"):
+        FLClient(0, cfg)

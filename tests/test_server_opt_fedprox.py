@@ -183,3 +183,56 @@ def test_simulation_with_fedavgm_and_fedprox_learns():
     res = run_simulation(cfg)
     assert res.round_accuracies[-1] > 0.3, res.round_accuracies
     assert np.isfinite(res.final_loss)
+
+
+# ---------------------------------------------------------------------------
+# client chunking: identical math, bounded compile
+# ---------------------------------------------------------------------------
+def test_chunked_round_matches_unchunked():
+    import jax
+
+    from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.data.partition import partition_data
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    train = load_dataset("synthetic", "train", num_train=512, num_test=64,
+                         image_shape=(16, 16, 1))
+    idx = partition_data(train.labels, 8, "iid")
+    cd = stack_clients(train, idx, pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    sample = {k: v[0, :16] for k, v in cd.arrays.items()}
+    params = init_model(model, sample, seed=0)["params"]
+    spec = TrainSpec(batch_size=16, local_epochs=1)
+
+    full = RoundEngine(model, cd, spec)
+    chunked = RoundEngine(model, cd, spec, client_chunk=4)
+    key = jax.random.PRNGKey(9)
+    p1, m1 = full.run_round(params, key)
+    p2, m2 = chunked.run_round(params, key)
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(p1)), np.asarray(flatten_tree(p2)),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(float(m1["client_loss_mean"]),
+                               float(m2["client_loss_mean"]), rtol=1e-5)
+
+
+def test_client_chunk_must_divide():
+    import pytest as _pytest
+
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.data.partition import partition_data
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.models import create_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    train = load_dataset("synthetic", "train", num_train=256, num_test=64,
+                         image_shape=(16, 16, 1))
+    idx = partition_data(train.labels, 6, "iid")
+    cd = stack_clients(train, idx, pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    with _pytest.raises(ValueError, match="divide"):
+        RoundEngine(model, cd, TrainSpec(batch_size=16), client_chunk=4)
