@@ -53,20 +53,41 @@ def main() -> None:
     # nothing and their conv weights get exactly zero gradient), so the
     # first MXU contraction has 3x3x8=72 lanes instead of 9.
     n_pad = ((samples_per_client + batch_size - 1) // batch_size) * batch_size
-    kimg, klab = jax.random.split(jax.random.PRNGKey(0))
-    protos = jax.random.uniform(
-        jax.random.PRNGKey(1000), (10, 28, 28, 1), jnp.float32
-    )
-    labels = jax.random.randint(
-        klab, (num_clients, n_pad), 0, 10, jnp.int32
-    )
-    signal = protos[labels] + 0.35 * jax.random.normal(
-        kimg, (num_clients, n_pad, 28, 28, 1), jnp.float32
-    )
-    images = jnp.concatenate(
-        [signal, jnp.zeros((num_clients, n_pad, 28, 28, 7), jnp.float32)],
-        axis=-1,
-    )
+
+    @jax.jit  # fused: one output buffer instead of eager temporaries
+    def build(key):
+        kimg, klab = jax.random.split(key)
+        protos = jax.random.uniform(
+            jax.random.PRNGKey(1000), (10, 28 * 28), jnp.float32
+        )
+        labels = jax.random.randint(
+            klab, (num_clients, n_pad), 0, 10, jnp.int32
+        )
+        # One-hot matmul, not protos[labels]: XLA pads the big gather's
+        # scratch ~4.6x on TPU (OOMs larger sweeps; see scaling_bench).
+        oh = jax.nn.one_hot(labels.reshape(-1), 10, dtype=jnp.float32)
+        signal = (oh @ protos).reshape(
+            num_clients, n_pad, 28, 28, 1
+        ) + 0.35 * jax.random.normal(
+            kimg, (num_clients, n_pad, 28, 28, 1), jnp.float32
+        )
+        images = jnp.concatenate(
+            [signal,
+             jnp.zeros((num_clients, n_pad, 28, 28, 7), jnp.float32)],
+            axis=-1,
+        )
+        # Stored FLAT [C, N, 6272] (49*128 — zero tile padding; the NHWC
+        # resident layout tile-pads up to 5.2x) and bf16 (the model
+        # computes bf16 anyway); measured ~9% faster per round than
+        # NHWC-resident f32 on top of the HBM savings
+        # (docs/performance.md "Client-count scaling").
+        return (
+            images.reshape(num_clients, n_pad, 28 * 28 * 8)
+            .astype(jnp.bfloat16),
+            labels,
+        )
+
+    images, labels = build(jax.random.PRNGKey(0))
     mask = np.zeros((num_clients, n_pad), np.float32)
     mask[:, :samples_per_client] = 1.0  # 600 real + 8 padded, as before
     client_data = ClientData(
@@ -79,7 +100,22 @@ def main() -> None:
     # bf16 conv/dense compute on the MXU; params, grads, and the Krum
     # aggregation stay f32. Loss curves match f32 to 3 decimals on this
     # model (see commit history) — parity with ~1.6x throughput.
-    model = create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
+    import flax.linen as nn
+
+    class FlatInput(nn.Module):
+        """Reshape the flat-stored image back to NHWC per batch."""
+
+        inner: nn.Module
+
+        @nn.compact
+        def __call__(self, batch, train=False):
+            b = dict(batch)
+            b["image"] = b["image"].reshape(-1, 28, 28, 8)
+            return self.inner(b, train=train)
+
+    model = FlatInput(
+        inner=create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
+    )
     sample = {k: v[0, :batch_size] for k, v in client_data.arrays.items()}
     params = init_model(model, sample, seed=0)["params"]
 

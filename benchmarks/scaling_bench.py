@@ -37,17 +37,33 @@ def run_one(num_clients: int) -> dict:
     # Build the client-stacked data ON DEVICE: this host's memory runs at
     # ~50 MB/s (measured, docs/performance.md), so a [C, N, 28, 28, 8]
     # host array would take minutes to materialize and minutes more to
-    # ship over the tunnel; jax.random on the chip makes it instant.
-    kimg, klab = jax.random.split(jax.random.PRNGKey(0))
-    protos = jax.random.uniform(
-        jax.random.PRNGKey(1000), (10, 28, 28, 8), jnp.float32
-    )
-    labels = jax.random.randint(
-        klab, (num_clients, n_pad), 0, 10, jnp.int32
-    )
-    images = protos[labels] + 0.35 * jax.random.normal(
-        kimg, (num_clients, n_pad, 28, 28, 8), jnp.float32
-    )
+    # ship over the tunnel. Jitted so XLA fuses gather+noise+add into the
+    # single output buffer — the eager version holds 3 array-sized
+    # temporaries, which OOMs a 16 GB chip at C=200 across a sweep.
+    @jax.jit
+    def build(key):
+        kimg, klab = jax.random.split(key)
+        protos = jax.random.uniform(
+            jax.random.PRNGKey(1000), (10, 28 * 28 * 8), jnp.float32
+        )
+        labels = jax.random.randint(
+            klab, (num_clients, n_pad), 0, 10, jnp.int32
+        )
+        # One-hot matmul instead of protos[labels]: XLA's TPU layout for
+        # the big gather pads its scratch 4.6x (measured 10.15 GB at
+        # C=200 — OOM); the [Cn, 10] x [10, 6272] GEMM has none of that.
+        oh = jax.nn.one_hot(labels.reshape(-1), 10, dtype=jnp.float32)
+        base = (oh @ protos).reshape(num_clients, n_pad, 28 * 28 * 8)
+        images = base + 0.35 * jax.random.normal(
+            kimg, (num_clients, n_pad, 28 * 28 * 8), jnp.float32
+        )
+        # Stored FLAT [C, N, 6272] (6272 = 49*128 -> zero tile padding;
+        # the natural [.., 28, 8] bf16 layout tile-pads 5.2x = OOM at
+        # C=400) and bf16 (the model computes bf16 anyway). Reshaped to
+        # NHWC per batch inside the model wrapper below.
+        return images.astype(jnp.bfloat16), labels
+
+    images, labels = build(jax.random.PRNGKey(0))
     mask = np.zeros((num_clients, n_pad), np.float32)
     mask[:, :samples_per_client] = 1.0
     cd = ClientData(
@@ -56,7 +72,23 @@ def run_one(num_clients: int) -> dict:
         counts=np.full((num_clients,), samples_per_client, np.int32),
         num_classes=10,
     )
-    model = create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
+
+    import flax.linen as nn
+
+    class FlatInput(nn.Module):
+        """Reshape the flat-stored image back to NHWC per batch."""
+
+        inner: nn.Module
+
+        @nn.compact
+        def __call__(self, batch, train=False):
+            b = dict(batch)
+            b["image"] = b["image"].reshape(-1, 28, 28, 8)
+            return self.inner(b, train=train)
+
+    model = FlatInput(
+        inner=create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
+    )
     sample = {k: v[0, :batch_size] for k, v in cd.arrays.items()}
     params = init_model(model, sample, seed=0)["params"]
     engine = RoundEngine(
@@ -93,6 +125,9 @@ def main():
     cs = [int(a) for a in sys.argv[1:]] or [25, 100, 400]
     for c in cs:
         print(json.dumps(run_one(c)), flush=True)
+        import gc
+
+        gc.collect()  # free the previous C's device buffers before the next
 
 
 if __name__ == "__main__":
