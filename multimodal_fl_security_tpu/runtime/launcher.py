@@ -73,6 +73,7 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
             defense_type=config.get("defense_type", "none"),
             defense_config=config.get("defense_params", {}),
             port=port,
+            fit_timeout=float(config.get("fit_timeout", 600.0)),
             secure_aggregation=bool(config.get("secure_aggregation", False)),
         )
     final = server.serve()
