@@ -255,19 +255,20 @@ def test_launcher_spawns_real_processes(tmp_path):
 
 @pytest.mark.slow
 def test_multiprocess_soak_kill_one_mid_run(tmp_path):
-    """True multi-process soak: 1 server + 8 client OS processes over TCP,
-    6 rounds; one client is SIGKILLed after round 2 completes. The server
+    """True multi-process soak: 1 server + 4 client OS processes over TCP,
+    4 rounds; one client is SIGKILLed after round 2 completes. The server
     must drop it (runtime/server.py fault path) and finish all rounds with
-    7 survivors. (Sized to the CI box: each client process imports jax on
-    a single throttled core, so 20+ simultaneous boots exceed any sane
-    deadline there; the same test ran at 20x10 on a faster host.)"""
+    3 survivors. (Sized to the CI box: each client process boot — jax
+    import + compile — takes MINUTES serialized on its single throttled
+    core, so larger fleets never all connect inside any sane deadline; the
+    same test ran at 20 clients x 10 rounds on a faster host.)"""
     import json
     import signal
     import subprocess
     import sys
     import time
 
-    num_clients, num_rounds = 8, 6
+    num_clients, num_rounds = 4, 4
     history_path = str(tmp_path / "history.json")
     config = {
         "name": "soak",
@@ -277,10 +278,14 @@ def test_multiprocess_soak_kill_one_mid_run(tmp_path):
         "num_clients": num_clients, "num_rounds": num_rounds,
         "batch_size": 16, "local_epochs": 1, "learning_rate": 0.05,
         "partition": "iid", "history_path": history_path,
-        # 20 healthy clients contending for ONE core straggle far past the
+        # Healthy clients contending for ONE core straggle far past the
         # default 600 s fit deadline; only the SIGKILLed client should be
         # dropped, so the straggler deadline must exceed worst-case boot.
         "fit_timeout": 1500.0,
+        # Unlike run_experiment (which polls the port before spawning
+        # clients), this test spawns the roles directly, so the clients'
+        # connect-retry budget must cover the server's multi-minute boot.
+        "connect_timeout": 1200.0,
     }
     import socket as sk
 
@@ -301,40 +306,50 @@ def test_multiprocess_soak_kill_one_mid_run(tmp_path):
         )
 
     stderr_path = tmp_path / "server_err.log"
-    with open(stderr_path, "w") as errf:
-        server = spawn(["--server-only"], stderr=errf)
-        time.sleep(2.0)
-        clients = [spawn(["--client", str(i)],
-                         stderr=subprocess.DEVNULL)
-                   for i in range(num_clients)]
-        victim = clients[7]
+    procs = []
+    try:
+        with open(stderr_path, "w") as errf:
+            server = spawn(["--server-only"], stderr=errf)
+            procs.append(server)
+            time.sleep(2.0)
+            clients = [spawn(["--client", str(i)],
+                             stderr=subprocess.DEVNULL)
+                       for i in range(num_clients)]
+            procs.extend(clients)
+            victim = clients[-1]
 
-        # Kill the victim once the server has aggregated round 2 (so the
-        # death is genuinely mid-experiment, not before or after it).
-        # Generous deadline: on a 1-core box under suite load, 21 process
-        # boots (each importing jax) alone take many minutes.
-        deadline = time.time() + 1500
-        killed = False
-        while time.time() < deadline:
-            if server.poll() is not None:
-                break
-            log = open(stderr_path).read()
-            if not killed and "round 2 aggregated" in log:
-                victim.send_signal(signal.SIGKILL)
-                killed = True
-            if "round %d aggregated" % num_rounds in log:
-                break
-            time.sleep(0.5)
-        assert killed, "never saw round 2 complete:\n" + open(
-            stderr_path).read()[-2000:]
+            # Kill the victim once the server has aggregated round 2 (so
+            # the death is genuinely mid-experiment, not before or after).
+            # Generous deadline: sequential jax-import boots alone take
+            # many minutes on this box.
+            deadline = time.time() + 1500
+            killed = False
+            while time.time() < deadline:
+                if server.poll() is not None:
+                    break
+                log = open(stderr_path).read()
+                if not killed and "round 2 aggregated" in log:
+                    victim.send_signal(signal.SIGKILL)
+                    killed = True
+                if "round %d aggregated" % num_rounds in log:
+                    break
+                time.sleep(0.5)
+            assert killed, "never saw round 2 complete:\n" + open(
+                stderr_path).read()[-2000:]
 
-        out, _ = server.communicate(timeout=900)
-        for c in clients:
-            if c.poll() is None:
-                try:
-                    c.wait(timeout=60)
-                except subprocess.TimeoutExpired:
-                    c.kill()
+            out, _ = server.communicate(timeout=900)
+            for c in clients:
+                if c.poll() is None:
+                    try:
+                        c.wait(timeout=60)
+                    except subprocess.TimeoutExpired:
+                        c.kill()
+    finally:
+        # Never leak subprocesses on failure: leaked clients poison every
+        # later test/bench on this single-core host.
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     assert server.returncode == 0, open(stderr_path).read()[-2000:]
 
     line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
@@ -346,7 +361,7 @@ def test_multiprocess_soak_kill_one_mid_run(tmp_path):
     with open(history_path) as f:
         history = json.load(f)
     assert len(history) == num_rounds
-    # Every round after the kill ran with the 19 survivors.
+    # Every round after the kill ran with the survivors only.
     post = [h for h in history if h["num_failures"] > 0]
     assert post, "no round recorded the failure"
     first_fail = post[0]["round"]
