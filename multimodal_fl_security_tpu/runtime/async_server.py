@@ -40,6 +40,7 @@ import logging
 import queue
 import socket
 import threading
+import time
 from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
@@ -64,7 +65,9 @@ class AsyncFLServer:
         defense_config: Optional[Dict[str, Any]] = None,
         host: str = "0.0.0.0",
         port: int = 8080,
+        drain_timeout: float = 600.0,
     ):
+        self.drain_timeout = float(drain_timeout)
         self.params = np.asarray(initial_params, np.float32)
         self.num_clients = int(num_clients)
         self.num_aggregations = int(num_aggregations)
@@ -147,14 +150,43 @@ class AsyncFLServer:
                     except OSError:
                         dead.add(cid)
 
-            for cid, conn in conns.items():
-                if cid in dead:
-                    continue
+            # Shutdown drain: every live client has exactly ONE in-flight
+            # task (tasks are handed out 1:1 with received updates), so
+            # wait for that last update and answer it with 'done'. Closing
+            # the sockets immediately instead would have mid-training
+            # clients write into a reset connection and die without ever
+            # reading 'done'.
+            pending = set(conns) - dead
+            deadline = time.monotonic() + self.drain_timeout
+            while pending:
                 try:
-                    with send_locks[cid]:
-                        send_msg(conn, {"type": "done"})
-                except OSError:
-                    pass
+                    msg = updates.get(
+                        timeout=max(0.1, deadline - time.monotonic())
+                    )
+                except queue.Empty:
+                    logger.warning(
+                        "shutdown drain timed out; %d clients still "
+                        "pending", len(pending)
+                    )
+                    break
+                cid = int(msg.get("client_id", -1))
+                if msg.get("type") == "client_dead":
+                    pending.discard(cid)
+                    dead.add(cid)
+                    continue
+                if cid in pending:
+                    pending.discard(cid)
+                    try:
+                        with send_locks[cid]:
+                            send_msg(conns[cid], {"type": "done"})
+                    except OSError:
+                        pass
+                if time.monotonic() > deadline:
+                    logger.warning(
+                        "shutdown drain deadline passed; %d clients still "
+                        "pending", len(pending)
+                    )
+                    break
             return self.params
         finally:
             for conn in conns.values():
@@ -226,10 +258,11 @@ def start_async_server(
     defense_config: Optional[Dict[str, Any]] = None,
     host: str = "0.0.0.0",
     port: int = 8080,
+    drain_timeout: float = 600.0,
 ) -> np.ndarray:
     server = AsyncFLServer(
         initial_params, num_clients, num_aggregations, buffer_size,
         server_lr, staleness_exponent, defense_type, defense_config,
-        host, port,
+        host, port, drain_timeout,
     )
     return server.serve()

@@ -172,6 +172,9 @@ class FLClient:
             hello = {"type": "hello", "client_id": self.client_id}
             if self._secagg is not None:
                 hello["secagg_pub"] = self._secagg.public_key_hex()
+                # The server verifies this against its own decode scale —
+                # a mismatch would silently mis-scale every aggregate.
+                hello["secagg_scale"] = self._secagg.scale
             send_msg(sock, hello)
             while True:
                 msg = recv_msg(sock)

@@ -75,6 +75,11 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
             port=port,
             fit_timeout=float(config.get("fit_timeout", 600.0)),
             secure_aggregation=bool(config.get("secure_aggregation", False)),
+            secagg_scale=(float(config["secagg_scale"])
+                          if "secagg_scale" in config else None),
+            secagg_min_contributors=int(
+                config.get("secagg_min_contributors", 2)
+            ),
         )
     final = server.serve()
 
@@ -161,7 +166,15 @@ def run_experiment(config: Dict[str, Any], port: int = 8080,
             time.sleep(0.3)
         rc = server.wait()
         for p in procs[1:]:
-            p.wait(timeout=60)
+            try:
+                p.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                # A client that never saw 'done' (e.g. its socket died with
+                # the server) must not hang the launcher.
+                logger.warning("client pid %d still alive after server "
+                               "exit; killing", p.pid)
+                p.kill()
+                p.wait()
         return rc
     except KeyboardInterrupt:
         logger.info("interrupt: terminating %d processes", len(procs))

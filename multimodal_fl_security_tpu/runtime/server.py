@@ -42,6 +42,8 @@ class FLServer:
         port: int = 8080,
         fit_timeout: float = 600.0,
         secure_aggregation: bool = False,
+        secagg_scale: Optional[float] = None,
+        secagg_min_contributors: int = 2,
     ):
         self.params = np.asarray(initial_params, np.float32)
         self.num_clients = num_clients
@@ -63,6 +65,22 @@ class FLServer:
                     f"{self.defense.name!r} needs them (compatible: "
                     f"{sorted(SECAGG_COMPATIBLE_DEFENSES)})"
                 )
+        #: fixed-point scale the masked sum is decoded with. Clients report
+        #: their scale in hello and the server REJECTS a mismatch — a client
+        #: encoding at a different scale would silently corrupt every
+        #: decoded aggregate otherwise.
+        if secagg_scale is None:
+            from multimodal_fl_security_tpu.runtime.secure_agg import (
+                DEFAULT_SCALE,
+            )
+
+            secagg_scale = DEFAULT_SCALE
+        self.secagg_scale = float(secagg_scale)
+        #: privacy floor: below this many contributors the decoded "sum"
+        #: narrows to few enough updates that unmasking defeats the point
+        #: (Bonawitz et al. enforce a threshold t for this reason). The
+        #: round is aborted (params unchanged) instead of decoded.
+        self.secagg_min_contributors = max(2, int(secagg_min_contributors))
         self._conn_ids: Dict[Any, int] = {}
         #: per-round deadline for a client's fit reply; a client that dies or
         #: straggles past it is dropped from the round (and, on a dead
@@ -101,6 +119,17 @@ class FLServer:
                                            else len(conns) - 1)
                 if "secagg_pub" in hello:
                     pubs[str(self._conn_ids[conn])] = hello["secagg_pub"]
+                    client_scale = float(
+                        hello.get("secagg_scale", self.secagg_scale)
+                    )
+                    if client_scale != self.secagg_scale:
+                        raise RuntimeError(
+                            f"client {cid} encodes at secagg_scale="
+                            f"{client_scale} but the server decodes at "
+                            f"{self.secagg_scale}; the aggregate would be "
+                            "silently mis-scaled. Pass the same "
+                            "'secagg_scale' to both."
+                        )
 
             if self.secure_aggregation:
                 if len(pubs) < self.num_clients:
@@ -299,7 +328,7 @@ class FLServer:
                                "dropping", round_idx)
                 dead.append(conn)
 
-        rd = SecAggServerRound(self.params.shape[0])
+        rd = SecAggServerRound(self.params.shape[0], scale=self.secagg_scale)
         metrics: List[Dict[str, Any]] = []
         loss_pairs: List[tuple] = []
         replies = self._gather_replies(alive, round_idx, dead)
@@ -315,13 +344,36 @@ class FLServer:
 
         dropped = sorted(set(participants) - set(rd.contributors))
         aborted = False
-        if dropped and rd.contributors:
+        if len(rd.contributors) < self.secagg_min_contributors:
+            # Privacy floor: decoding a round with this few contributors
+            # would reveal (nearly) individual updates.
+            logger.error(
+                "round %d: only %d secagg contributors (< min %d); "
+                "aborting round", round_idx, len(rd.contributors),
+                self.secagg_min_contributors,
+            )
+            aborted = True
+        if dropped and rd.contributors and not aborted:
             # Unmask round: survivors reveal their seeds with the dropped.
-            survivors = [c for c in conns if c not in dead]
-            for conn in survivors:
-                send_msg(conn, {"type": "unmask", "round": round_idx,
-                                "dropped": dropped})
+            survivors = []
             unmask_dead: List[socket.socket] = []
+            for conn in conns:
+                if conn in dead:
+                    continue
+                try:
+                    send_msg(conn, {"type": "unmask", "round": round_idx,
+                                    "dropped": dropped})
+                    survivors.append(conn)
+                except OSError:
+                    # A contributor whose socket died before the unmask
+                    # request: its masks with the dropped participants are
+                    # unrecoverable -> same abort path as a death during
+                    # the reveal itself.
+                    logger.warning(
+                        "round %d: survivor socket dead at unmask send",
+                        round_idx,
+                    )
+                    unmask_dead.append(conn)
             seed_replies = self._gather_replies(survivors, round_idx,
                                                 unmask_dead)
             if unmask_dead:

@@ -256,6 +256,37 @@ def test_secagg_dropout_is_unmasked_and_survived():
     assert np.max(np.abs(result["f"] - flat0)) < 50.0
 
 
+def test_server_rejects_mismatched_secagg_scale():
+    """A client encoding at a different fixed-point scale than the server
+    decodes at would silently corrupt every aggregate; the server must
+    refuse it at hello instead."""
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+    from multimodal_fl_security_tpu.runtime.transport import send_msg
+
+    port = _free_port()
+    server = FLServer(np.zeros(10, np.float32), num_clients=2, num_rounds=1,
+                      host="127.0.0.1", port=port, secure_aggregation=True)
+    err = {}
+
+    def run():
+        try:
+            server.serve()
+        except RuntimeError as e:
+            err["e"] = e
+
+    st = threading.Thread(target=run)
+    st.start()
+    time.sleep(0.2)
+    sec = SecAggClient(0, scale=1024.0)
+    sock = sk.create_connection(("127.0.0.1", port), timeout=30)
+    send_msg(sock, {"type": "hello", "client_id": 0,
+                    "secagg_pub": sec.public_key_hex(),
+                    "secagg_scale": sec.scale})
+    st.join(timeout=30)
+    sock.close()
+    assert "e" in err and "secagg_scale" in str(err["e"])
+
+
 def test_client_rejects_secagg_plus_compression():
     from multimodal_fl_security_tpu.runtime.client import FLClient
 
