@@ -90,33 +90,28 @@ def main() -> None:
     images, labels = build(jax.random.PRNGKey(0))
     mask = np.zeros((num_clients, n_pad), np.float32)
     mask[:, :samples_per_client] = 1.0  # 600 real + 8 padded, as before
+    # PRODUCT flat-resident layout (data/stacking.py): feature_shapes
+    # declares the logical image shape; the engine's batch adapter
+    # restores it at the model boundary. This is the same mechanism
+    # ExperimentRunner uses (resident_layout="flat" default), so the
+    # number below measures the framework path, not a bespoke bench.
     client_data = ClientData(
         arrays={"image": images, "label": labels},
         mask=mask,
         counts=np.full((num_clients,), samples_per_client, np.int32),
         num_classes=10,
+        feature_shapes={"image": (28, 28, 8)},
     )
 
     # bf16 conv/dense compute on the MXU; params, grads, and the Krum
     # aggregation stay f32. Loss curves match f32 to 3 decimals on this
     # model (see commit history) — parity with ~1.6x throughput.
-    import flax.linen as nn
+    from multimodal_fl_security_tpu.data.stacking import make_batch_adapter
 
-    class FlatInput(nn.Module):
-        """Reshape the flat-stored image back to NHWC per batch."""
-
-        inner: nn.Module
-
-        @nn.compact
-        def __call__(self, batch, train=False):
-            b = dict(batch)
-            b["image"] = b["image"].reshape(-1, 28, 28, 8)
-            return self.inner(b, train=train)
-
-    model = FlatInput(
-        inner=create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
+    model = create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
+    sample = make_batch_adapter(client_data.feature_shapes)(
+        {k: v[0, :batch_size] for k, v in client_data.arrays.items()}
     )
-    sample = {k: v[0, :batch_size] for k, v in client_data.arrays.items()}
     params = init_model(model, sample, seed=0)["params"]
 
     spec = TrainSpec(

@@ -10,12 +10,28 @@ Ragged shards (Dirichlet partitions) are zero-padded to ``N_max``; the mask
 zeroes padded samples out of the loss, and true example counts are kept for
 FedAvg weighting — this matches the reference's example-count-weighted
 aggregation (reference: src/defenses/base_defense.py:80-97).
+
+Resident layout
+---------------
+Multi-dim features (images, spectrograms) can be stored in one of two
+layouts on the device:
+
+* ``"nhwc"`` — the logical shape ``[C, N, H, W, ch]``. XLA tile-pads the
+  two minor dims of a resident array to (8, 128); a ``[.., 28, 1]`` minor
+  pair inflates up to 5.2x in HBM (OOMs CUB-scale sweeps at C=400) and the
+  per-step row gather moves the padding too.
+* ``"flat"`` — ``[C, N, D']`` with ``D'`` = feature size rounded up to a
+  128 multiple, zero tile padding. ``feature_shapes`` records the logical
+  per-sample shape; the training/eval step reshapes each gathered BATCH
+  back at the model boundary (``make_batch_adapter``), which XLA fuses
+  into the gather. Measured ~9% faster per round at C=100 and immune to
+  the tile-padding blowup (docs/performance.md "Client-count scaling").
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Dict, List
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -29,12 +45,15 @@ class ClientData:
     arrays: modality name -> [C, N_max, ...] (includes "label": [C, N_max])
     mask:   [C, N_max] float32 — 1.0 for real samples, 0.0 for padding
     counts: [C] int32 — true shard sizes (FedAvg weights)
+    feature_shapes: logical per-sample shapes of flat-stored arrays
+        (empty = every array is already in its logical shape)
     """
 
     arrays: Dict[str, np.ndarray]
     mask: np.ndarray
     counts: np.ndarray
     num_classes: int
+    feature_shapes: Dict[str, tuple] = field(default_factory=dict)
 
     @property
     def num_clients(self) -> int:
@@ -45,15 +64,80 @@ class ClientData:
         return self.mask.shape[1]
 
 
+def to_flat_layout(
+    cd: ClientData,
+    pad_to: int = 128,
+    dtype: Optional[np.dtype] = None,
+) -> ClientData:
+    """Convert multi-dim features to the flat 128-aligned resident layout.
+
+    Arrays with per-sample rank >= 2 are reshaped to ``[C, N, D]`` and
+    zero-padded up to a ``pad_to`` multiple in the minor dim; their logical
+    shapes land in ``feature_shapes``. Rank <= 1 arrays (labels, attribute
+    vectors) pass through. ``dtype`` optionally re-types the flattened
+    features (e.g. bfloat16 when the model computes bf16 anyway — halves
+    resident HBM and gather traffic).
+    """
+    arrays: Dict[str, np.ndarray] = {}
+    shapes: Dict[str, tuple] = dict(cd.feature_shapes)
+    for key, arr in cd.arrays.items():
+        sample_shape = arr.shape[2:]
+        if len(sample_shape) < 2:
+            arrays[key] = arr
+            continue
+        c, n = arr.shape[:2]
+        d = int(np.prod(sample_shape))
+        d_pad = ((d + pad_to - 1) // pad_to) * pad_to
+        flat = np.ascontiguousarray(arr).reshape(c, n, d)
+        if d_pad != d:
+            out = np.zeros((c, n, d_pad), dtype=arr.dtype)
+            out[:, :, :d] = flat
+            flat = out
+        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+            import jax.numpy as jnp
+
+            flat = np.asarray(jnp.asarray(flat).astype(dtype))
+        arrays[key] = flat
+        shapes[key] = tuple(sample_shape)
+    return ClientData(arrays=arrays, mask=cd.mask, counts=cd.counts,
+                      num_classes=cd.num_classes, feature_shapes=shapes)
+
+
+def make_batch_adapter(feature_shapes: Dict[str, tuple]):
+    """Build adapt(batch) restoring flat-stored features to logical shape.
+
+    Works on numpy and jax arrays; slices off the 128-alignment padding and
+    reshapes — both fuse into the surrounding program under jit. Returns
+    ``None`` when there is nothing to adapt (caller can skip the hop).
+    """
+    if not feature_shapes:
+        return None
+    sizes = {k: int(np.prod(s)) for k, s in feature_shapes.items()}
+
+    def adapt(batch):
+        out = dict(batch)
+        for k, shape in feature_shapes.items():
+            v = out.get(k)
+            if v is None:
+                continue
+            out[k] = v[..., : sizes[k]].reshape(v.shape[:-1] + tuple(shape))
+        return out
+
+    return adapt
+
+
 def stack_clients(
     dataset: Dataset,
     client_indices: List[np.ndarray],
     pad_multiple: int = 1,
+    layout: str = "nhwc",
+    resident_dtype: Optional[np.dtype] = None,
 ) -> ClientData:
     """Gather per-client shards and pad to a common length.
 
     ``pad_multiple`` rounds N_max up (e.g. to the batch size) so the batch
-    grid divides evenly.
+    grid divides evenly. ``layout="flat"`` converts the result with
+    :func:`to_flat_layout` (optionally re-typed to ``resident_dtype``).
     """
     from multimodal_fl_security_tpu.data.native import gather_pad
 
@@ -74,8 +158,13 @@ def stack_clients(
     for i, ix in enumerate(client_indices):
         mask[i, : len(ix)] = 1.0
 
-    return ClientData(arrays=arrays, mask=mask, counts=counts,
-                      num_classes=dataset.num_classes)
+    cd = ClientData(arrays=arrays, mask=mask, counts=counts,
+                    num_classes=dataset.num_classes)
+    if layout == "flat":
+        cd = to_flat_layout(cd, dtype=resident_dtype)
+    elif layout != "nhwc":
+        raise ValueError(f"unknown resident layout {layout!r}")
+    return cd
 
 
 def batch_dataset(dataset: Dataset, batch_size: int) -> Dict[str, np.ndarray]:

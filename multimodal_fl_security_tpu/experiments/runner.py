@@ -94,11 +94,18 @@ class ExperimentRunner:
                     shard = attack.poison_dataset(shard)
             shards.append(shard)
 
-        # Re-assemble into one dataset-per-client stacking.
-        client_data = _stack_shards(shards, train.num_classes, config.batch_size)
+        # Re-assemble into one dataset-per-client stacking (flat 128-aligned
+        # resident layout by default; see ExperimentConfig.resident_layout).
+        client_data = _stack_shards(
+            shards, train.num_classes, config.batch_size,
+            layout=config.resident_layout,
+            resident_dtype=config.resident_dtype,
+        )
 
         # L2: model -------------------------------------------------------
         import jax.numpy as jnp
+
+        from multimodal_fl_security_tpu.data.stacking import make_batch_adapter
 
         model = create_model(
             config.default_model(), num_classes=train.num_classes,
@@ -107,6 +114,9 @@ class ExperimentRunner:
         sample_batch = {
             k: v[0, : config.batch_size] for k, v in client_data.arrays.items()
         }
+        adapt = make_batch_adapter(client_data.feature_shapes)
+        if adapt is not None:
+            sample_batch = adapt(sample_batch)
         variables = init_model(model, sample_batch, rng=init_key)
         params = variables["params"]
 
@@ -303,6 +313,8 @@ class ExperimentRunner:
             test_cd = _stack_shards(
                 [test.subset(ix) for ix in test_indices],
                 test.num_classes, config.batch_size,
+                layout=config.resident_layout,
+                resident_dtype=config.resident_dtype,
             )
             pe = personalized_evaluation(
                 model, params,
@@ -367,7 +379,9 @@ class ExperimentRunner:
         return out
 
 
-def _stack_shards(shards: List[Dataset], num_classes: int, batch_size: int):
+def _stack_shards(shards: List[Dataset], num_classes: int, batch_size: int,
+                  layout: str = "flat",
+                  resident_dtype: Optional[str] = None):
     """Stack a list of (possibly poisoned) per-client datasets."""
     merged_arrays = {}
     for key in shards[0].arrays:
@@ -375,7 +389,13 @@ def _stack_shards(shards: List[Dataset], num_classes: int, batch_size: int):
     merged = Dataset(merged_arrays, num_classes)
     offsets = np.cumsum([0] + [len(s) for s in shards])
     indices = [np.arange(offsets[i], offsets[i + 1]) for i in range(len(shards))]
-    return stack_clients(merged, indices, pad_multiple=batch_size)
+    import jax.numpy as jnp
+
+    return stack_clients(
+        merged, indices, pad_multiple=batch_size, layout=layout,
+        resident_dtype=(jnp.dtype(resident_dtype).type
+                        if resident_dtype else None),
+    )
 
 
 def run_simulation(config: ExperimentConfig, **kwargs) -> ExperimentResults:

@@ -87,12 +87,17 @@ class TrainSpec:
     fedprox_mu: float = 0.0
 
 
-def make_local_train_fn(model, spec: TrainSpec, n_samples: int) -> Callable:
+def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
+                        adapt: Optional[Callable] = None) -> Callable:
     """Build local_train(params, data, mask, key) -> (new_params, mean_loss).
 
     ``data`` holds one client's stacked modality arrays [N_max, ...];
     ``mask`` is [N_max]. Shapes are static: N_max must be a multiple of the
     batch size (data/stacking.py pads to it).
+
+    ``adapt`` (data/stacking.py::make_batch_adapter) restores flat-stored
+    features to their logical shape per gathered batch — the model and the
+    augmentations always see logical shapes regardless of resident layout.
     """
     bsz = spec.batch_size
     assert n_samples % bsz == 0, "pad N_max to a batch-size multiple"
@@ -106,6 +111,8 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int) -> Callable:
     mu = float(spec.fedprox_mu)
 
     def loss_fn(params, batch, bmask, step_key, anchor):
+        if adapt is not None:
+            batch = adapt(batch)
         if augment is not None:
             akey, dropout_key = jax.random.split(step_key)
             batch = augment(akey, batch)
@@ -233,8 +240,14 @@ class RoundEngine:
                 mesh, self.arrays, self.mask, self.counts
             )
 
+        # Flat-resident layouts (data/stacking.py::to_flat_layout) carry
+        # the logical feature shapes; the adapter restores them per batch
+        # at the model boundary (fused into the gather under jit).
+        from multimodal_fl_security_tpu.data.stacking import make_batch_adapter
+
+        self._adapt = make_batch_adapter(client_data.feature_shapes)
         self._local_train = make_local_train_fn(
-            model, spec, client_data.max_samples
+            model, spec, client_data.max_samples, adapt=self._adapt
         )
 
         # FLTrust root-dataset training program (reference: fltrust.py:93-150).

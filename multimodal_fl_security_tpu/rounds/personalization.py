@@ -30,7 +30,7 @@ from multimodal_fl_security_tpu.rounds.engine import (
 )
 
 
-def make_client_eval_fn(model, n_samples: int, batch_size: int):
+def make_client_eval_fn(model, n_samples: int, batch_size: int, adapt=None):
     """Build eval(params, data, mask) -> (correct, count) for ONE client's
     padded shard [N, ...]; vmap over the leading client axis for all."""
     assert n_samples % batch_size == 0
@@ -45,6 +45,8 @@ def make_client_eval_fn(model, n_samples: int, batch_size: int):
 
         def body(carry, xs):
             batch, m = xs
+            if adapt is not None:
+                batch = adapt(batch)
             logits = model.apply({"params": params}, batch, train=False)
             pred = jnp.argmax(logits, axis=-1)
             hit = (pred == batch["label"].astype(pred.dtype)).astype(
@@ -74,10 +76,16 @@ def personalized_evaluation(
     Returns per-client arrays [C]: ``personalized_accuracy``,
     ``global_accuracy``, plus the test-shard sizes ``test_counts``.
     """
-    local_train = make_local_train_fn(model, spec, train_data.max_samples)
+    from multimodal_fl_security_tpu.data.stacking import make_batch_adapter
+
+    local_train = make_local_train_fn(
+        model, spec, train_data.max_samples,
+        adapt=make_batch_adapter(train_data.feature_shapes),
+    )
     client_eval = make_client_eval_fn(
         model, test_data.max_samples, min(spec.batch_size,
-                                          test_data.max_samples)
+                                          test_data.max_samples),
+        adapt=make_batch_adapter(test_data.feature_shapes),
     )
 
     @jax.jit
