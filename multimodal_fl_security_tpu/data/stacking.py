@@ -94,9 +94,9 @@ def to_flat_layout(
             out[:, :, :d] = flat
             flat = out
         if dtype is not None and np.issubdtype(arr.dtype, np.floating):
-            import jax.numpy as jnp
-
-            flat = np.asarray(jnp.asarray(flat).astype(dtype))
+            # Host-side cast (ml_dtypes registers bfloat16 with numpy);
+            # also halves the host->device transfer for bf16 residents.
+            flat = flat.astype(np.dtype(dtype))
         arrays[key] = flat
         shapes[key] = tuple(sample_shape)
     return ClientData(arrays=arrays, mask=cd.mask, counts=cd.counts,

@@ -26,6 +26,14 @@ class ExperimentConfig:
     name: str = "experiment"
     dataset: str = "synthetic"
     model: Optional[str] = None  # None = dataset default
+    # Transfer learning (reference: cub200_cnn.py:29-54): path to a local
+    # pickled parameter pytree (models/pretrained.py::save_params). Leaves
+    # merge by name+shape; a head with a different class count keeps its
+    # fresh init, like the reference's replaced fc.
+    pretrained_path: Optional[str] = None
+    # Freeze everything except the classifier head during local training
+    # (reference: cub200_cnn.py:40-44).
+    freeze_backbone: bool = False
     num_clients: int = 5
     clients_per_round: Optional[int] = None  # None = all clients every round
     # Compile-time bound for large client counts: vmap over chunks of this

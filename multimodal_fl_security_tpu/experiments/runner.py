@@ -120,6 +120,28 @@ class ExperimentRunner:
         variables = init_model(model, sample_batch, rng=init_key)
         params = variables["params"]
 
+        # Transfer learning: merge a local pretrained checkpoint and
+        # optionally freeze the backbone (reference: cub200_cnn.py:29-54).
+        frozen_prefixes: tuple = ()
+        if config.pretrained_path:
+            from multimodal_fl_security_tpu.models.pretrained import (
+                load_pretrained,
+            )
+
+            params, load_info = load_pretrained(params, config.pretrained_path)
+            logger.info(
+                "%s: pretrained %s -> %d leaves loaded, %d reinitialized "
+                "(head), %d missing", config.name, config.pretrained_path,
+                len(load_info["loaded"]), len(load_info["reinitialized"]),
+                len(load_info["missing"]),
+            )
+        if config.freeze_backbone:
+            from multimodal_fl_security_tpu.models.pretrained import (
+                backbone_prefixes,
+            )
+
+            frozen_prefixes = backbone_prefixes(params)
+
         # FLTrust root dataset (reference: fltrust.py:67-83 subsamples 100).
         root_data = None
         if getattr(defense, "needs_server_grad", False):
@@ -150,6 +172,7 @@ class ExperimentRunner:
             batch_size=config.batch_size,
             augment=config.augment,
             fedprox_mu=config.fedprox_mu,
+            frozen_prefixes=frozen_prefixes,
         )
         from multimodal_fl_security_tpu.rounds.server_opt import (
             make_server_optimizer,

@@ -11,9 +11,13 @@ Deliberate divergences, documented per SURVEY.md §7:
     [C, ...] client-vmap wants. ``norm="batch"`` is available for parity
     experiments (batch stats then stay local/frozen, matching the
     reference simulation's effective behavior).
-  - **No pretrained weights**: this environment has no network egress.
-    ``pretrained_path`` loads a local pickle of the parameter pytree when
-    provided.
+  - **Pretrained weights come from a local file**, not a download (this
+    environment has no network egress): ``ExperimentConfig.pretrained_path``
+    merges a pickled parameter pytree into the fresh init by name+shape
+    (models/pretrained.py::load_pretrained — a head with a different class
+    count keeps its fresh init, like the reference's replaced fc), and
+    ``freeze_backbone`` masks every non-head subtree out of local training
+    (reference: cub200_cnn.py:29-54).
 """
 
 from __future__ import annotations

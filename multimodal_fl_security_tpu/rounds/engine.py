@@ -85,6 +85,12 @@ class TrainSpec:
     #: heterogeneous clients to the round-start global. 0 = plain FedAvg
     #: local training (the reference's only mode).
     fedprox_mu: float = 0.0
+    #: top-level param subtrees to FREEZE during local training (transfer
+    #: learning — reference: cub200_cnn.py:40-44 freeze_backbone). Frozen
+    #: subtrees are masked out of the gradients (so they don't consume
+    #: clip-norm budget, like requires_grad=False) and out of the final
+    #: updates (so weight decay cannot move them either).
+    frozen_prefixes: tuple = ()
 
 
 def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
@@ -109,6 +115,17 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
     augment = make_augment_fn(spec.augment)
 
     mu = float(spec.fedprox_mu)
+
+    frozen = tuple(spec.frozen_prefixes)
+
+    def freeze_mask(tree):
+        if not frozen:
+            return tree
+        return {
+            k: (jax.tree_util.tree_map(jnp.zeros_like, v)
+                if any(k.startswith(p) for p in frozen) else v)
+            for k, v in tree.items()
+        }
 
     def loss_fn(params, batch, bmask, step_key, anchor):
         if adapt is not None:
@@ -155,7 +172,9 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
                 loss, grads = jax.value_and_grad(loss_fn)(
                     params, batch, bmask, skey, anchor
                 )
+                grads = freeze_mask(grads)
                 updates, opt_state = opt.update(grads, opt_state, params)
+                updates = freeze_mask(updates)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
 
