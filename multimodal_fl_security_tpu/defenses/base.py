@@ -39,6 +39,17 @@ class BaseDefense:
     name = "base"
     #: set by defenses that need ctx["server_grad"] (engine computes it)
     needs_server_grad = False
+    #: stateful defenses thread a state pytree through the jitted round
+    #: (init_state/aggregate_stateful); see foolsgold.py, centered_clip.py
+    stateful = False
+    #: for stateful defenses: True when state leaves carry a leading
+    #: per-client axis (e.g. FoolsGold's [C, D] history). The engine then
+    #: gathers the sampled clients' rows into aggregate_stateful and
+    #: scatters the returned rows back, so client subsampling composes —
+    #: each client's history accumulates across the rounds it participates
+    #: in. False = global state (e.g. centered clipping's [D] center),
+    #: passed through unsliced.
+    state_per_client = False
 
     def __init__(self, config: Optional[Dict[str, Any]] = None):
         self.config = dict(config or {})

@@ -36,6 +36,7 @@ from multimodal_fl_security_tpu.defenses.base import DEFENSES, BaseDefense
 class FoolsGoldDefense(BaseDefense):
     name = "foolsgold"
     stateful = True
+    state_per_client = True  # history rows indexed by client id
 
     def __init__(self, config: Optional[Dict[str, Any]] = None):
         super().__init__(config)

@@ -385,9 +385,26 @@ class RoundEngine:
                 ctx["server_grad"] = self._server_train(params, key_server)
 
             if stateful:
-                agg, aux, new_state = defense.aggregate_stateful(
-                    updates, counts, ctx, defense_state
-                )
+                per_client = getattr(defense, "state_per_client", False)
+                if k_sample is not None and per_client:
+                    # Per-client state rows live on the FULL client axis;
+                    # hand the defense only the sampled rows and scatter
+                    # the updated rows back — history accumulates across
+                    # the rounds each client participates in.
+                    rows = jax.tree_util.tree_map(
+                        lambda s: s[client_ids], defense_state
+                    )
+                    agg, aux, new_rows = defense.aggregate_stateful(
+                        updates, counts, ctx, rows
+                    )
+                    new_state = jax.tree_util.tree_map(
+                        lambda s, r: s.at[client_ids].set(r),
+                        defense_state, new_rows,
+                    )
+                else:
+                    agg, aux, new_state = defense.aggregate_stateful(
+                        updates, counts, ctx, defense_state
+                    )
             else:
                 agg, aux, new_state = *defense.aggregate_with_aux(
                     updates, counts, ctx
@@ -412,12 +429,9 @@ class RoundEngine:
     # ------------------------------------------------------------------
     def _ensure_defense_state(self, params) -> None:
         if self._defense_stateful and self._defense_state is None:
-            if self.clients_per_round is not None:
-                raise NotImplementedError(
-                    f"stateful defense {self.defense.name} requires full "
-                    "client participation (clients_per_round=None): its "
-                    "per-client history is indexed by the full client axis"
-                )
+            # Per-client state (state_per_client=True) is allocated on the
+            # FULL client axis even under subsampling; the round program
+            # gathers/scatters the sampled rows.
             dim = int(flatten_tree(params).shape[0])
             self._defense_state = self.defense.init_state(
                 self.num_clients, dim

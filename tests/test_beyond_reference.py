@@ -172,6 +172,87 @@ def test_foolsgold_stateful_in_engine():
     assert float(jnp.abs(eng._defense_state).max()) > 0
 
 
+def test_foolsgold_composes_with_client_subsampling():
+    """Per-client history rows live on the full client axis; under
+    clients_per_round < num_clients the round gathers the sampled rows
+    and scatters them back — a client's history accumulates exactly
+    across the rounds it participates in, and non-participants' rows are
+    untouched."""
+    import jax as _jax
+
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.data.partition import partition_data
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    num_clients, k = 6, 3
+    train = load_dataset("synthetic", "train", num_train=384,
+                         image_shape=(16, 16, 1))
+    idx = partition_data(train.labels, num_clients, "iid")
+    cd = stack_clients(train, idx, pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    sample = {k2: v[0, :16] for k2, v in cd.arrays.items()}
+    params = init_model(model, sample, seed=0)["params"]
+    eng = RoundEngine(model, cd, TrainSpec(batch_size=16),
+                      defense=get_defense("foolsgold", {}),
+                      clients_per_round=k)
+
+    key = _jax.random.PRNGKey(0)
+    prev_state = None
+    participated = np.zeros(num_clients, bool)
+    for r in range(3):
+        rkey = _jax.random.fold_in(key, r)
+        # Recompute the engine's sampling (engine.py round_fn).
+        sample_idx = np.asarray(_jax.random.permutation(
+            _jax.random.fold_in(rkey, 0x5A3), num_clients
+        )[:k])
+        params, metrics = eng.run_round(params, rkey)
+        state = np.asarray(eng._defense_state)
+        assert state.shape[0] == num_clients
+        assert metrics["fg_weights"].shape == (k,)
+        if prev_state is not None:
+            changed = np.array([
+                not np.array_equal(state[i], prev_state[i])
+                for i in range(num_clients)
+            ])
+            assert changed[sample_idx].all(), "participant rows must update"
+            non = np.setdiff1d(np.arange(num_clients), sample_idx)
+            assert not changed[non].any(), "non-participant rows moved"
+        participated[sample_idx] = True
+        prev_state = state
+    # Across 3 rounds of 3-of-6 sampling, every participant's row is
+    # nonzero and never-sampled clients' rows are still exactly zero.
+    norms = np.abs(prev_state).max(axis=1)
+    assert (norms[participated] > 0).all()
+    assert (norms[~participated] == 0).all()
+
+
+def test_centered_clip_composes_with_client_subsampling():
+    """Global [D] state defenses pass through subsampling unsliced."""
+    import jax as _jax
+
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.data.partition import partition_data
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    train = load_dataset("synthetic", "train", num_train=256,
+                         image_shape=(16, 16, 1))
+    idx = partition_data(train.labels, 4, "iid")
+    cd = stack_clients(train, idx, pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    sample = {k: v[0, :16] for k, v in cd.arrays.items()}
+    params = init_model(model, sample, seed=0)["params"]
+    eng = RoundEngine(model, cd, TrainSpec(batch_size=16),
+                      defense=get_defense("centered_clip", {}),
+                      clients_per_round=2)
+    for r in range(2):
+        params, metrics = eng.run_round(params, _jax.random.PRNGKey(r))
+    assert np.isfinite(float(metrics["cclip_center_norm"]))
+
+
 def test_foolsgold_e2e_crushes_colluding_backdoor():
     """The regime where trimmed-mean only reaches ASR ~0.38
     (artifacts/attack_efficacy): FoolsGold's historical-similarity
