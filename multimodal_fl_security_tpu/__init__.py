@@ -21,6 +21,19 @@ Typical use::
 
 __version__ = "0.1.0"
 
+# Platform override MUST land before any submodule touches jax: the jax
+# backend is pinned at first initialization, and a later
+# jax.config.update("jax_platforms", ...) silently does nothing — which
+# had launcher roles asked to run on CPU computing against the TPU
+# tunnel instead. (The tunnel's plugin registration overrides the
+# JAX_PLATFORMS env var, so the config route is the only effective one.)
+import os as _os
+
+if _os.environ.get("MFT_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MFT_PLATFORM"])
+
 from multimodal_fl_security_tpu.experiments.config import (  # noqa: F401
     ExperimentConfig,
     ExperimentResults,

@@ -80,6 +80,8 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
             secagg_min_contributors=int(
                 config.get("secagg_min_contributors", 2)
             ),
+            secagg_threshold=(int(config["secagg_threshold"])
+                              if "secagg_threshold" in config else None),
         )
     final = server.serve()
 
@@ -202,11 +204,24 @@ def main(argv=None) -> int:
 
     platform = args.platform or os.environ.get("MFT_PLATFORM")
     if platform:
-        os.environ["MFT_PLATFORM"] = platform
+        if os.environ.get("MFT_PLATFORM") != platform:
+            # The jax backend is pinned at FIRST initialization, and
+            # `python -m ...launcher` imports the package __init__ (which
+            # touches jax) before this function runs — a config.update
+            # here is too late, and the role would silently compute on
+            # the default platform (observed: "cpu" roles running against
+            # the TPU tunnel). The package __init__ applies MFT_PLATFORM
+            # before any jax-touching import, so re-exec once with it
+            # set; spawned roles inherit it via os.environ.
+            os.environ["MFT_PLATFORM"] = platform
+            os.execv(sys.executable,
+                     [sys.executable, "-m",
+                      "multimodal_fl_security_tpu.runtime.launcher"]
+                     + list(argv if argv is not None else sys.argv[1:]))
         import jax
 
-        # A sitecustomize may have pre-imported jax with another platform;
-        # env alone is too late, so set the config directly.
+        # Already applied by the package __init__ (same value) — kept as
+        # a guard for embedders calling main() directly.
         jax.config.update("jax_platforms", platform)
 
     if args.config_json:
