@@ -182,17 +182,17 @@ class FLClient:
                     logger.info("client %d done", self.client_id)
                     return
                 if msg.get("type") == "secagg_keys":
-                    self._secagg.set_peer_keys(msg["pubs"])
+                    # Install the directory and send back this client's
+                    # encrypted Shamir shares of its DH key (dropout
+                    # recovery; the server relays but cannot read them).
+                    send_msg(sock, self._secagg.handshake(
+                        msg["pubs"], msg["threshold"]
+                    ))
                 elif msg.get("type") == "unmask":
-                    # Reveal pairwise seeds with dropped participants so the
-                    # server can strip their uncancelled masks.
-                    send_msg(sock, {
-                        "type": "unmask_reply",
-                        "client_id": self.client_id,
-                        "seeds": self._secagg.reveal_seeds(
-                            msg["dropped"], msg["round"]
-                        ),
-                    })
+                    # Return plaintext shares: contributors' self-mask
+                    # seeds + dropped clients' DH keys (never both for
+                    # one owner — enforced inside unmask_reply).
+                    send_msg(sock, self._secagg.unmask_reply(msg))
                 elif msg.get("type") == "fit_async":
                     # Async/buffered protocol (runtime/async_server.py):
                     # reply with the DELTA plus the global version it was
@@ -214,9 +214,9 @@ class FLClient:
                              "metrics": metrics}
                     if self._secagg is not None:
                         delta = flat - np.asarray(msg["params"], np.float32)
-                        reply["masked"] = self._secagg.mask_update(
+                        reply.update(self._secagg.round_payload(
                             delta, n, msg["round"], msg["participants"]
-                        )
+                        ))
                     elif self._compressor is not None:
                         reply.update(
                             self._compressor.compress(flat, msg["params"])

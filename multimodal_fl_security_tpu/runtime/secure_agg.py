@@ -1,35 +1,41 @@
 """Secure aggregation for the distributed TCP runtime.
 
-Simplified Bonawitz et al. (CCS'17) pairwise-masking protocol: the server
-learns ONLY the weighted SUM of client updates, never an individual
-update. Beyond-reference — the reference's Flower path ships every
-client's full parameter vector to the server in the clear
-(reference: src/server/robust_server.py:95-104).
+Bonawitz et al. (CCS'17) double-masking protocol with Shamir-share
+dropout recovery: the server learns ONLY the weighted SUM of client
+updates, never an individual update. Beyond-reference — the reference's
+Flower path ships every client's full parameter vector to the server in
+the clear (reference: src/server/robust_server.py:95-104).
 
 Protocol
 --------
 1. Key agreement: every client generates an ephemeral finite-field
    Diffie-Hellman keypair (RFC 3526 2048-bit MODP group, stdlib ``pow``);
-   public keys are relayed through the server. Each pair (i, j) then
-   shares a secret only they can compute.
+   public keys are relayed through the server (with the t-of-n
+   threshold). Each pair (i, j) then shares a secret only they can
+   compute. Each client also t-of-n Shamir-shares its DH PRIVATE key
+   among all participants (runtime/shamir.py), each share encrypted for
+   its holder with the pairwise key and relayed through the server.
 2. Masking: client i fixed-point-encodes ``weight_i * delta_i`` (delta
    from the broadcast global, so magnitudes stay small) into int64,
-   reinterprets mod 2**64, and adds a pairwise mask vector
-   ``sign(i, j) * PRG(seed_ij, round)`` for every OTHER participant j of
-   the round, where ``seed_ij = SHA-256(DH(i, j) || round)`` and sign is
-   +1 for i < j, -1 for i > j. Uint64 addition wraps, so each mask is a
-   one-time pad; in the SUM over all participants the masks cancel
-   exactly (pair antisymmetry), leaving sum_i enc(w_i * delta_i).
-3. Decoding: the server sums the masked vectors mod 2**64, reinterprets
-   as signed int64, divides by the fixed-point scale and sum(w), and adds
-   the global back: ``new_global = global + sum w_i d_i / sum w_i``.
-4. Dropout recovery: if client j dies after the round's masks were
-   committed (fit sent, no reply), every SURVIVOR i reveals seed_ij to
-   the server, which recomputes and subtracts the uncancelled
-   ``sign(i, j) * PRG(seed_ij)`` terms. (Full SecAgg uses Shamir shares
-   so that even a survivor dying mid-unmask is recoverable; here that
-   rare double-fault aborts the round — the server keeps the previous
-   global and continues.)
+   reinterprets mod 2**64, and adds (a) a pairwise mask vector
+   ``sign(i, j) * PRG(seed_ij, round)`` for every OTHER participant j
+   (``seed_ij = SHA-256(DH(i, j) || round)``, sign +1 for i < j), and
+   (b) a SELF mask ``PRG(b_i)`` from a fresh per-round seed ``b_i``,
+   which it t-of-n shares alongside the masked vector (encrypted per
+   holder). Uint64 addition wraps, so each mask is a one-time pad; in
+   the sum over all participants the pairwise masks cancel exactly.
+3. Unmask round (every round): the server tells the surviving
+   contributors who contributed and who dropped, forwarding each holder
+   its encrypted shares. Each survivor returns plaintext shares of
+   ``b_i`` for CONTRIBUTORS and of the DH key ``x_d`` for DROPPED
+   clients — never both for the same owner (clients enforce the
+   disjointness; revealing both would unmask an individual update).
+   With >= t share replies the server reconstructs every contributor's
+   ``b_i`` (subtracting the self masks — including a contributor that
+   died AFTER submitting) and every dropped ``x_d`` (recomputing and
+   stripping its uncancelled pairwise masks), then decodes:
+   ``new_global = global + sum w_i d_i / sum w_i``. Fewer than t share
+   replies abort the round (params unchanged).
 
 What the server still sees: per-client example counts and training-loss
 metrics (cleartext, like the reference), and the exact participant set.
@@ -46,9 +52,14 @@ from __future__ import annotations
 
 import hashlib
 import secrets
-from typing import Dict, Iterable, List, Optional
+from typing import Any, Dict, Iterable, List, Optional
 
 import numpy as np
+
+from multimodal_fl_security_tpu.runtime.shamir import (
+    combine_shares,
+    split_secret,
+)
 
 # RFC 3526 group 14: 2048-bit MODP prime, generator 2.
 DH_PRIME = int(
@@ -78,13 +89,41 @@ def generate_keypair() -> tuple:
     return x, pow(DH_GENERATOR, x, DH_PRIME)
 
 
-def shared_seed(private: int, peer_public: int, round_idx: int) -> bytes:
-    """32-byte pairwise seed, symmetric in (i, j) and bound to the round."""
+def shared_seed(private: int, peer_public: int, round_idx: int,
+                domain: bytes = b"mfs-secagg-v1") -> bytes:
+    """32-byte pairwise seed, symmetric in (i, j), bound to the round and
+    to a domain (pairwise masks, b-share encryption, x-share encryption
+    each use a distinct domain so keystreams never collide)."""
     s = pow(peer_public, private, DH_PRIME)
     material = s.to_bytes((DH_PRIME.bit_length() + 7) // 8, "big")
     return hashlib.sha256(
-        material + round_idx.to_bytes(8, "big") + b"mfs-secagg-v1"
+        material + round_idx.to_bytes(8, "big") + domain
     ).digest()
+
+
+#: share-encryption domains (see shared_seed)
+DOMAIN_BSHARE = b"mfs-secagg-bshare"
+DOMAIN_XSHARE = b"mfs-secagg-xshare"
+#: fixed width of an encrypted field element (p < 2^521 -> 66 bytes)
+SHARE_BYTES = 66
+
+
+def _stream_xor(key: bytes, data: bytes) -> bytes:
+    """XOR ``data`` with a SHA-256 counter keystream from ``key``."""
+    out = bytearray()
+    ctr = 0
+    while len(out) < len(data):
+        out += hashlib.sha256(key + ctr.to_bytes(4, "big")).digest()
+        ctr += 1
+    return bytes(a ^ b for a, b in zip(data, out[: len(data)]))
+
+
+def encrypt_share(key: bytes, share: int) -> str:
+    return _stream_xor(key, share.to_bytes(SHARE_BYTES, "big")).hex()
+
+
+def decrypt_share(key: bytes, enc_hex: str) -> int:
+    return int.from_bytes(_stream_xor(key, bytes.fromhex(enc_hex)), "big")
 
 
 def expand_mask(seed: bytes, dim: int) -> np.ndarray:
@@ -111,7 +150,7 @@ def decode_fixed(acc: np.ndarray, scale: float = DEFAULT_SCALE) -> np.ndarray:
 
 
 class SecAggClient:
-    """Client-side masking state for one FL run."""
+    """Client-side masking + sharing state for one FL run."""
 
     def __init__(self, client_id: int, scale: float = DEFAULT_SCALE,
                  clip: float = DEFAULT_CLIP):
@@ -120,6 +159,11 @@ class SecAggClient:
         self.clip = float(clip)
         self._private, self.public = generate_keypair()
         self._peer_pubs: Dict[int, int] = {}
+        self.threshold: int = 2
+        #: round -> (b_seed bytes, own Shamir share of int(b_seed))
+        self._round_b: Dict[int, tuple] = {}
+        #: own Shamir share of the DH private key
+        self._x_self_share: Optional[int] = None
 
     # -- key exchange ------------------------------------------------------
     def public_key_hex(self) -> str:
@@ -132,6 +176,29 @@ class SecAggClient:
             for cid, pub in pubs.items()
             if int(cid) != self.client_id
         }
+
+    def handshake(self, pubs: Dict[str, str], threshold: int
+                  ) -> Dict[str, Any]:
+        """Install the key directory and produce the x-share message:
+        this client's DH private key t-of-n shared among all directory
+        members (self share kept), each share encrypted for its holder
+        with the pairwise key (the server relays but cannot read them)."""
+        self.set_peer_keys(pubs)
+        self.threshold = int(threshold)
+        holders = sorted(int(c) for c in pubs)
+        shares = split_secret(self._private, holders, self.threshold)
+        self._x_self_share = shares[self.client_id]
+        enc = {
+            str(j): encrypt_share(
+                shared_seed(self._private, self._peer_pubs[j], 0,
+                            DOMAIN_XSHARE),
+                sh,
+            )
+            for j, sh in shares.items()
+            if j != self.client_id
+        }
+        return {"type": "x_shares", "client_id": self.client_id,
+                "shares": enc}
 
     # -- masking -----------------------------------------------------------
     def _pair_seed(self, peer: int, round_idx: int) -> bytes:
@@ -166,14 +233,75 @@ class SecAggClient:
                 enc = enc - mask
         return enc
 
-    def reveal_seeds(self, dropped: Iterable[int],
-                     round_idx: int) -> Dict[str, str]:
-        """Seeds shared with dropped participants, for server-side unmasking."""
-        return {
-            str(int(j)): self._pair_seed(int(j), round_idx).hex()
-            for j in dropped
-            if int(j) != self.client_id and int(j) in self._peer_pubs
+    def round_payload(self, delta: np.ndarray, weight: float,
+                      round_idx: int, participants: Iterable[int]
+                      ) -> Dict[str, Any]:
+        """Full double-masked submission for one round: the pairwise-masked
+        encoding PLUS a fresh self mask ``PRG(b_i)``, with ``b_i`` t-of-n
+        shared among the round's participants (own share kept, others
+        encrypted per holder)."""
+        participants = [int(p) for p in participants]
+        enc = self.mask_update(delta, weight, round_idx, participants)
+        b_seed = secrets.token_bytes(32)
+        enc = enc + expand_mask(b_seed, enc.shape[0])
+        shares = split_secret(int.from_bytes(b_seed, "big"), participants,
+                              self.threshold)
+        self._round_b[round_idx] = (b_seed, shares.get(self.client_id))
+        enc_shares = {
+            str(j): encrypt_share(
+                shared_seed(self._private, self._peer_pubs[j], round_idx,
+                            DOMAIN_BSHARE),
+                sh,
+            )
+            for j, sh in shares.items()
+            if j != self.client_id
         }
+        return {"masked": enc, "b_shares": enc_shares}
+
+    def unmask_reply(self, msg: Dict[str, Any]) -> Dict[str, Any]:
+        """Answer the server's unmask request with plaintext shares.
+
+        ``msg`` carries the round's ``contributors`` and ``dropped`` id
+        lists plus the encrypted shares this client holds (``enc_b`` for
+        contributors' self-mask seeds, ``enc_x`` for dropped clients' DH
+        keys). SECURITY INVARIANT enforced here: an owner may appear in
+        only ONE of the two lists — revealing both b_i and x_i would let
+        the server unmask client i's individual update.
+        """
+        round_idx = int(msg["round"])
+        contributors = {int(c) for c in msg.get("contributors", [])}
+        dropped = {int(d) for d in msg.get("dropped", [])}
+        overlap = contributors & dropped
+        if overlap:
+            raise ValueError(
+                f"refusing unmask: owners {sorted(overlap)} listed as both "
+                "contributor and dropped (server would learn their "
+                "individual update)"
+            )
+        b_out: Dict[str, str] = {}
+        for owner_s, enc in dict(msg.get("enc_b", {})).items():
+            owner = int(owner_s)
+            if owner not in contributors or owner not in self._peer_pubs:
+                continue
+            key = shared_seed(self._private, self._peer_pubs[owner],
+                              round_idx, DOMAIN_BSHARE)
+            b_out[owner_s] = format(decrypt_share(key, enc), "x")
+        # Own self-mask share (we are a contributor answering unmask).
+        own = self._round_b.get(round_idx)
+        if own is not None and self.client_id in contributors:
+            b_out[str(self.client_id)] = format(own[1], "x")
+        x_out: Dict[str, str] = {}
+        for owner_s, enc in dict(msg.get("enc_x", {})).items():
+            owner = int(owner_s)
+            if owner == self.client_id:
+                continue  # never reveal a share of one's own live key
+            if owner not in dropped or owner not in self._peer_pubs:
+                continue
+            key = shared_seed(self._private, self._peer_pubs[owner], 0,
+                              DOMAIN_XSHARE)
+            x_out[owner_s] = format(decrypt_share(key, enc), "x")
+        return {"type": "unmask_reply", "client_id": self.client_id,
+                "round": round_idx, "b": b_out, "x": x_out}
 
 
 class SecAggServerRound:
@@ -191,28 +319,40 @@ class SecAggServerRound:
         self.total_weight += float(weight)
         self.contributors.append(int(client_id))
 
-    def strip_dropout_masks(
-        self,
-        revealed: Dict[int, Dict[str, str]],
-        dropped: Iterable[int],
-    ) -> None:
-        """Remove uncancelled masks after dropouts.
+    def subtract_self_masks(self, b_seeds: Dict[int, int]) -> None:
+        """Remove every contributor's self mask given the reconstructed
+        per-round seeds ``{owner: int(b_seed)}`` (Shamir-combined)."""
+        for owner, b_int in b_seeds.items():
+            if int(owner) not in self.contributors:
+                continue
+            if not 0 <= b_int < (1 << 256):
+                raise ValueError(
+                    f"reconstructed b for client {owner} out of range — "
+                    "bad/insufficient shares"
+                )
+            self.acc = self.acc - expand_mask(
+                int(b_int).to_bytes(32, "big"), self.dim
+            )
 
-        ``revealed[i][str(j)]`` is survivor i's hex seed with dropped
-        client j. Survivor i added ``sign(i, j) * mask_ij`` to its
-        contribution; subtract exactly that.
-        """
-        dropped = {int(j) for j in dropped}
-        for i, seeds in revealed.items():
-            i = int(i)
-            if i not in self.contributors:
-                continue  # never contributed; nothing to strip
-            for j_str, seed_hex in seeds.items():
-                j = int(j_str)
-                if j not in dropped:
-                    continue  # only dropped participants' masks are stripped
-                mask = expand_mask(bytes.fromhex(seed_hex), self.dim)
-                if i < j:
+    def strip_dropped_with_keys(
+        self,
+        x_keys: Dict[int, int],
+        pubs: Dict[int, int],
+        round_idx: int,
+    ) -> None:
+        """Remove the uncancelled pairwise masks owed by dropped clients,
+        given their reconstructed DH PRIVATE keys ``{dropped_id: x_d}``
+        and the public-key directory. Contributor i added
+        ``sign(i, d) * PRG(seed_id)``; ``seed_id`` is symmetric, so the
+        server recomputes it as ``shared_seed(x_d, pub_i, round)``."""
+        for d, x_d in x_keys.items():
+            d = int(d)
+            for i in self.contributors:
+                if i == d:
+                    continue
+                seed = shared_seed(int(x_d), pubs[i], round_idx)
+                mask = expand_mask(seed, self.dim)
+                if i < d:
                     self.acc = self.acc - mask
                 else:
                     self.acc = self.acc + mask
@@ -221,6 +361,32 @@ class SecAggServerRound:
         """Decode: sum(w_i * d_i) / sum(w_i), float32."""
         total = decode_fixed(self.acc, self.scale)
         return (total / max(self.total_weight, 1e-12)).astype(np.float32)
+
+
+def reconstruct_secrets(replies: List[Dict[str, Any]], field: str,
+                        owners: Iterable[int], threshold: int
+                        ) -> Dict[int, int]:
+    """Shamir-combine per-owner shares out of unmask replies.
+
+    ``field`` is ``"b"`` (contributors' self-mask seeds) or ``"x"``
+    (dropped clients' DH keys). Raises ValueError when any requested
+    owner has fewer than ``threshold`` shares — the caller aborts the
+    round rather than apply a garbage reconstruction.
+    """
+    out: Dict[int, int] = {}
+    for owner in owners:
+        shares: Dict[int, int] = {}
+        for rep in replies:
+            sh = rep.get(field, {}).get(str(int(owner)))
+            if sh is not None:
+                shares[int(rep["client_id"])] = int(sh, 16)
+        if len(shares) < threshold:
+            raise ValueError(
+                f"only {len(shares)} shares for {field!r} of client "
+                f"{owner} (threshold {threshold})"
+            )
+        out[int(owner)] = combine_shares(shares)
+    return out
 
 
 #: defenses that never inspect per-client updates — the only ones secure

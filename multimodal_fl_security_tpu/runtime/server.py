@@ -44,6 +44,7 @@ class FLServer:
         secure_aggregation: bool = False,
         secagg_scale: Optional[float] = None,
         secagg_min_contributors: int = 2,
+        secagg_threshold: Optional[int] = None,
     ):
         self.params = np.asarray(initial_params, np.float32)
         self.num_clients = num_clients
@@ -81,6 +82,15 @@ class FLServer:
         #: (Bonawitz et al. enforce a threshold t for this reason). The
         #: round is aborted (params unchanged) instead of decoded.
         self.secagg_min_contributors = max(2, int(secagg_min_contributors))
+        #: Shamir t-of-n threshold for share reconstruction; None ->
+        #: max(2, n//2 + 1) once n is known. Bonawitz et al. require
+        #: t > n/2 so no colluding minority can reconstruct.
+        self.secagg_threshold = (int(secagg_threshold)
+                                 if secagg_threshold else None)
+        #: relayed encrypted x-shares: owner -> {holder: enc_hex}
+        self._xshares: Dict[int, Dict[str, str]] = {}
+        #: public keys as ints (for dropped-key pairwise-seed recompute)
+        self._pubs_int: Dict[int, int] = {}
         self._conn_ids: Dict[Any, int] = {}
         #: per-round deadline for a client's fit reply; a client that dies or
         #: straggles past it is dropped from the round (and, on a dead
@@ -137,9 +147,26 @@ class FLServer:
                         "secure aggregation enabled but some clients sent "
                         "no secagg_pub in hello"
                     )
-                # Relay the public-key directory (SecAgg round 0).
+                self._pubs_int = {int(c): int(p, 16) for c, p in pubs.items()}
+                if self.secagg_threshold is None:
+                    self.secagg_threshold = max(2, self.num_clients // 2 + 1)
+                # Relay the public-key directory + threshold (SecAgg
+                # round 0), then collect each client's encrypted Shamir
+                # shares of its DH private key (dropout recovery).
                 for conn in conns:
-                    send_msg(conn, {"type": "secagg_keys", "pubs": pubs})
+                    send_msg(conn, {"type": "secagg_keys", "pubs": pubs,
+                                    "threshold": self.secagg_threshold})
+                setup_dead: List[socket.socket] = []
+                for rep in self._gather_replies(conns, 0, setup_dead):
+                    rep.pop("_conn", None)
+                    self._xshares[int(rep["client_id"])] = dict(
+                        rep.get("shares", {})
+                    )
+                if setup_dead:
+                    raise RuntimeError(
+                        "secure aggregation setup failed: a client died "
+                        "before sharing its key"
+                    )
 
             for r in range(1, self.num_rounds + 1):
                 self._run_round(r, conns)
@@ -301,17 +328,19 @@ class FLServer:
 
     def _run_round_secagg(self, round_idx: int,
                           conns: List[socket.socket]) -> None:
-        """One round under pairwise-masked aggregation (secure_agg.py).
+        """One round under double-masked aggregation (secure_agg.py).
 
-        The server sums masked uint64 vectors; with every announced
-        participant contributing, the masks cancel and the decoded sum is
-        the weighted FedAvg numerator. Dropouts trigger a seed-reveal
-        unmask round; a survivor dying DURING unmask aborts the round
-        (params unchanged) — the Shamir-share recovery of full SecAgg is
-        out of scope.
+        The server sums self+pairwise-masked uint64 vectors, then runs
+        the unmask round EVERY round: surviving contributors return
+        Shamir shares of (a) every contributor's per-round self-mask seed
+        and (b) every dropped client's DH key. With >= t share replies
+        the round completes even when a contributor dies AFTER submitting
+        but BEFORE unmasking (Bonawitz et al. CCS'17 §4); with fewer, the
+        round aborts (params unchanged).
         """
         from multimodal_fl_security_tpu.runtime.secure_agg import (
             SecAggServerRound,
+            reconstruct_secrets,
         )
 
         participants = [self._conn_ids[c] for c in conns]
@@ -331,11 +360,14 @@ class FLServer:
         rd = SecAggServerRound(self.params.shape[0], scale=self.secagg_scale)
         metrics: List[Dict[str, Any]] = []
         loss_pairs: List[tuple] = []
+        #: owner -> {holder: enc_share} of this round's self-mask seeds
+        b_enc: Dict[int, Dict[str, str]] = {}
         replies = self._gather_replies(alive, round_idx, dead)
         for reply in replies:
             cid = self._conn_ids[reply.pop("_conn")]
             w = float(reply.get("num_examples", 1))
             rd.add(cid, reply["masked"], w)
+            b_enc[cid] = dict(reply.get("b_shares", {}))
             m = dict(reply.get("metrics", {}))
             m.setdefault("client_id", cid)
             metrics.append(m)
@@ -343,6 +375,7 @@ class FLServer:
                 loss_pairs.append((m["loss"], w))
 
         dropped = sorted(set(participants) - set(rd.contributors))
+        contributors = sorted(rd.contributors)
         aborted = False
         if len(rd.contributors) < self.secagg_min_contributors:
             # Privacy floor: decoding a round with this few contributors
@@ -353,42 +386,61 @@ class FLServer:
                 self.secagg_min_contributors,
             )
             aborted = True
-        if dropped and rd.contributors and not aborted:
-            # Unmask round: survivors reveal their seeds with the dropped.
-            survivors = []
+
+        if not aborted:
+            # Unmask round (always: self masks must come off). Each live
+            # contributor gets the encrypted shares it holds.
+            survivors: List[socket.socket] = []
             unmask_dead: List[socket.socket] = []
             for conn in conns:
                 if conn in dead:
                     continue
+                holder = self._conn_ids[conn]
+                msg = {
+                    "type": "unmask", "round": round_idx,
+                    "contributors": contributors, "dropped": dropped,
+                    "enc_b": {
+                        str(o): b_enc[o][str(holder)]
+                        for o in contributors
+                        if o != holder and str(holder) in b_enc.get(o, {})
+                    },
+                    "enc_x": {
+                        str(d): self._xshares[d][str(holder)]
+                        for d in dropped
+                        if str(holder) in self._xshares.get(d, {})
+                    },
+                }
                 try:
-                    send_msg(conn, {"type": "unmask", "round": round_idx,
-                                    "dropped": dropped})
+                    send_msg(conn, msg)
                     survivors.append(conn)
                 except OSError:
-                    # A contributor whose socket died before the unmask
-                    # request: its masks with the dropped participants are
-                    # unrecoverable -> same abort path as a death during
-                    # the reveal itself.
                     logger.warning(
                         "round %d: survivor socket dead at unmask send",
                         round_idx,
                     )
                     unmask_dead.append(conn)
-            seed_replies = self._gather_replies(survivors, round_idx,
-                                                unmask_dead)
-            if unmask_dead:
-                # A contributor died before revealing: its masks with the
-                # dropped participants are unrecoverable.
-                logger.error("round %d: survivor died during unmask; "
-                             "aborting round", round_idx)
+            share_replies = [
+                {k: v for k, v in r.items() if k != "_conn"}
+                for r in self._gather_replies(survivors, round_idx,
+                                              unmask_dead)
+            ]
+            dead.extend(unmask_dead)
+            try:
+                b_seeds = reconstruct_secrets(
+                    share_replies, "b", contributors, self.secagg_threshold
+                )
+                rd.subtract_self_masks(b_seeds)
+                if dropped:
+                    x_keys = reconstruct_secrets(
+                        share_replies, "x", dropped, self.secagg_threshold
+                    )
+                    rd.strip_dropped_with_keys(
+                        x_keys, self._pubs_int, round_idx
+                    )
+            except ValueError as e:
+                logger.error("round %d: unmask failed (%s); aborting round",
+                             round_idx, e)
                 aborted = True
-                dead.extend(unmask_dead)
-            else:
-                revealed = {
-                    self._conn_ids[r.pop("_conn")]: dict(r.get("seeds", {}))
-                    for r in seed_replies
-                }
-                rd.strip_dropout_masks(revealed, dropped)
 
         self._forget_dead(conns, dead)
         if not rd.contributors:

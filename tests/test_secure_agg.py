@@ -62,8 +62,71 @@ def test_single_masked_vector_hides_the_plaintext():
     assert np.mean(m == plain) < 0.01  # one-time-pad-like
 
 
-def test_weighted_mean_decode_and_dropout_recovery():
-    clients = _connected_clients(4)
+def _handshaken_clients(n, threshold=None, **kw):
+    """Clients + the server-relayed x-share table {owner: {holder: enc}}."""
+    clients = [SecAggClient(i, **kw) for i in range(n)]
+    pubs = {str(c.client_id): c.public_key_hex() for c in clients}
+    t = threshold if threshold is not None else max(2, n // 2 + 1)
+    xshares = {}
+    for c in clients:
+        msg = c.handshake(pubs, t)
+        xshares[c.client_id] = msg["shares"]
+    return clients, xshares, t
+
+
+def _server_unmask(rd, clients, xshares, contributors, dropped, repliers,
+                   round_idx, threshold):
+    """Drive the unmask round server-side with only ``repliers`` alive."""
+    from multimodal_fl_security_tpu.runtime.secure_agg import (
+        reconstruct_secrets,
+    )
+
+    replies = []
+    for c in clients:
+        if c.client_id not in repliers:
+            continue
+        msg = {
+            "round": round_idx,
+            "contributors": contributors,
+            "dropped": dropped,
+            "enc_b": {
+                str(o): clients[o]._last_b_shares[str(c.client_id)]
+                for o in contributors
+                if o != c.client_id
+                and str(c.client_id) in clients[o]._last_b_shares
+            },
+            "enc_x": {
+                str(d): xshares[d][str(c.client_id)]
+                for d in dropped
+                if str(c.client_id) in xshares[d]
+            },
+        }
+        replies.append(c.unmask_reply(msg))
+    b = reconstruct_secrets(replies, "b", contributors, threshold)
+    rd.subtract_self_masks(b)
+    if dropped:
+        x = reconstruct_secrets(replies, "x", dropped, threshold)
+        rd.strip_dropped_with_keys(
+            x, {c.client_id: c.public for c in clients}, round_idx
+        )
+
+
+def _round_payloads(clients, deltas, weights, round_idx, parts):
+    payloads = {}
+    for c in clients:
+        if c.client_id not in parts:
+            continue
+        p = c.round_payload(deltas[c.client_id], weights[c.client_id],
+                            round_idx, parts)
+        c._last_b_shares = p["b_shares"]
+        payloads[c.client_id] = p
+    return payloads
+
+
+def test_weighted_mean_decode_full_protocol():
+    """All 4 clients contribute and answer unmask: self masks come off
+    via share reconstruction, pairwise masks cancel, decode is exact."""
+    clients, xshares, t = _handshaken_clients(4)
     dim = 1000
     rng = np.random.default_rng(0)
     deltas = [rng.normal(0, 0.1, dim) for _ in range(4)]
@@ -71,23 +134,116 @@ def test_weighted_mean_decode_and_dropout_recovery():
     parts = [0, 1, 2, 3]
 
     rd = SecAggServerRound(dim)
-    for c, d, w in zip(clients, deltas, weights):
-        rd.add(c.client_id, c.mask_update(d, w, 1, parts), w)
+    payloads = _round_payloads(clients, deltas, weights, 1, parts)
+    for cid, p in payloads.items():
+        rd.add(cid, p["masked"], weights[cid])
+    _server_unmask(rd, clients, xshares, parts, [], repliers=parts,
+                   round_idx=1, threshold=t)
     want = sum(w * d for w, d in zip(weights, deltas)) / sum(weights)
     np.testing.assert_allclose(rd.weighted_mean_delta(), want, atol=1e-4)
 
-    # Client 2 drops after masks were committed: survivors reveal seeds,
-    # the server strips the uncancelled masks.
-    rd2 = SecAggServerRound(dim)
+
+def test_dropout_before_submit_recovered_via_x_shares():
+    """Client 2 is announced but never submits: survivors' shares of its
+    DH key let the server strip its uncancelled pairwise masks."""
+    clients, xshares, t = _handshaken_clients(4)
+    dim = 600
+    rng = np.random.default_rng(1)
+    deltas = [rng.normal(0, 0.1, dim) for _ in range(4)]
+    weights = [100.0, 200.0, 50.0, 300.0]
+    parts = [0, 1, 2, 3]
     alive = [0, 1, 3]
-    for i in alive:
-        rd2.add(i, clients[i].mask_update(deltas[i], weights[i], 2, parts),
-                weights[i])
-    revealed = {i: clients[i].reveal_seeds([2], 2) for i in alive}
-    rd2.strip_dropout_masks(revealed, [2])
-    want2 = (sum(weights[i] * deltas[i] for i in alive)
-             / sum(weights[i] for i in alive))
-    np.testing.assert_allclose(rd2.weighted_mean_delta(), want2, atol=1e-4)
+
+    rd = SecAggServerRound(dim)
+    payloads = _round_payloads(clients, deltas, weights, 2, parts)
+    for cid in alive:
+        rd.add(cid, payloads[cid]["masked"], weights[cid])
+    _server_unmask(rd, clients, xshares, alive, [2], repliers=alive,
+                   round_idx=2, threshold=t)
+    want = (sum(weights[i] * deltas[i] for i in alive)
+            / sum(weights[i] for i in alive))
+    np.testing.assert_allclose(rd.weighted_mean_delta(), want, atol=1e-4)
+
+
+def test_contributor_dying_before_unmask_is_survived():
+    """THE double-fault that aborted the old protocol: with 5 clients,
+    client 4 drops before submitting AND client 2 dies after submitting
+    its masked vector but before the unmask reply. The remaining 3
+    repliers (>= t = 3) reconstruct client 2's self-mask seed and client
+    4's key from shares — the round still decodes the correct weighted
+    sum of ALL contributors (2 included)."""
+    clients, xshares, t = _handshaken_clients(5)
+    assert t == 3
+    dim = 600
+    rng = np.random.default_rng(2)
+    deltas = [rng.normal(0, 0.1, dim) for _ in range(5)]
+    weights = [10.0, 20.0, 30.0, 40.0, 50.0]
+    parts = [0, 1, 2, 3, 4]
+    contributors = [0, 1, 2, 3]   # 4 never submits
+    repliers = [0, 1, 3]          # 2 dies before unmask
+
+    rd = SecAggServerRound(dim)
+    payloads = _round_payloads(clients, deltas, weights, 3, parts)
+    for cid in contributors:
+        rd.add(cid, payloads[cid]["masked"], weights[cid])
+    _server_unmask(rd, clients, xshares, contributors, [4],
+                   repliers=repliers, round_idx=3, threshold=t)
+    want = (sum(weights[i] * deltas[i] for i in contributors)
+            / sum(weights[i] for i in contributors))
+    np.testing.assert_allclose(rd.weighted_mean_delta(), want, atol=1e-4)
+
+
+def test_too_few_share_replies_raises():
+    """Below-threshold share availability must be an error, never a
+    silent garbage reconstruction."""
+    from multimodal_fl_security_tpu.runtime.secure_agg import (
+        reconstruct_secrets,
+    )
+
+    clients, xshares, t = _handshaken_clients(5)
+    dim = 64
+    deltas = [np.zeros(dim) for _ in range(5)]
+    weights = [1.0] * 5
+    parts = [0, 1, 2, 3, 4]
+    payloads = _round_payloads(clients, deltas, weights, 1, parts)
+    replies = []
+    for cid in [0, 1]:  # only 2 repliers < t=3
+        c = clients[cid]
+        replies.append(c.unmask_reply({
+            "round": 1, "contributors": parts, "dropped": [],
+            "enc_b": {
+                str(o): clients[o]._last_b_shares[str(cid)]
+                for o in parts if o != cid
+            },
+            "enc_x": {},
+        }))
+    with pytest.raises(ValueError, match="shares"):
+        reconstruct_secrets(replies, "b", parts, t)
+
+
+def test_client_refuses_contributor_and_dropped_overlap():
+    """An owner listed as both contributor and dropped would have both
+    b and x revealed — the client must refuse the whole request."""
+    clients, xshares, t = _handshaken_clients(3)
+    deltas = [np.zeros(16) for _ in range(3)]
+    _round_payloads(clients, deltas, [1.0] * 3, 1, [0, 1, 2])
+    with pytest.raises(ValueError, match="both"):
+        clients[0].unmask_reply({
+            "round": 1, "contributors": [0, 1, 2], "dropped": [1],
+            "enc_b": {}, "enc_x": {},
+        })
+
+
+def test_shamir_split_combine_roundtrip():
+    from multimodal_fl_security_tpu.runtime import shamir
+
+    secret = int.from_bytes(b"\x07" * 32, "big")
+    shares = shamir.split_secret(secret, [0, 1, 2, 3, 4], 3)
+    # Any 3 of 5 reconstruct.
+    assert shamir.combine_shares({k: shares[k] for k in (0, 2, 4)}) == secret
+    assert shamir.combine_shares({k: shares[k] for k in (1, 2, 3)}) == secret
+    # 2 of 5 give a (different) wrong value — no information.
+    assert shamir.combine_shares({k: shares[k] for k in (0, 1)}) != secret
 
 
 def test_expand_mask_deterministic_and_seed_sensitive():
@@ -220,22 +376,24 @@ def test_secagg_dropout_is_unmasked_and_survived():
         sec = SecAggClient(2)
         sock = sk.create_connection(("127.0.0.1", port), timeout=120)
         send_msg(sock, {"type": "hello", "client_id": 2,
-                        "secagg_pub": sec.public_key_hex()})
+                        "secagg_pub": sec.public_key_hex(),
+                        "secagg_scale": sec.scale})
         while True:
             msg = recv_msg(sock)
             if msg.get("type") == "secagg_keys":
-                sec.set_peer_keys(msg["pubs"])
+                send_msg(sock, sec.handshake(msg["pubs"], msg["threshold"]))
+            elif msg.get("type") == "unmask":
+                send_msg(sock, sec.unmask_reply(msg))
             elif msg.get("type") == "fit":
                 if msg["round"] >= 2:
                     sock.close()  # die with masks outstanding
                     return
                 delta = np.zeros_like(flat0, dtype=np.float64)
-                send_msg(sock, {
-                    "client_id": 2, "num_examples": 1,
-                    "metrics": {"loss": 0.0},
-                    "masked": sec.mask_update(delta, 1, msg["round"],
-                                              msg["participants"]),
-                })
+                reply = {"client_id": 2, "num_examples": 1,
+                         "metrics": {"loss": 0.0}}
+                reply.update(sec.round_payload(delta, 1, msg["round"],
+                                               msg["participants"]))
+                send_msg(sock, reply)
 
     ft = threading.Thread(target=flaky)
     ft.start()
