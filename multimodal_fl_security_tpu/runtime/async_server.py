@@ -43,7 +43,6 @@ import threading
 import time
 from typing import Any, Dict, List, Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from multimodal_fl_security_tpu.defenses import get_defense
@@ -203,32 +202,24 @@ class AsyncFLServer:
                             "params": self.params})
 
     def _aggregate(self, buffer: List[Dict[str, Any]]) -> None:
+        from multimodal_fl_security_tpu.runtime.fedbuff import (
+            fedbuff_aggregate,
+            staleness_weights,
+        )
+
         deltas = np.stack(
             [np.asarray(m["delta"], np.float32) for m in buffer]
         )
-        stale = np.asarray(
-            [self.version - int(m.get("version", 0)) for m in buffer],
-            np.float32,
+        versions = np.asarray(
+            [int(m.get("version", 0)) for m in buffer], np.float32
         )
         n = np.asarray(
             [float(m.get("num_examples", 1)) for m in buffer], np.float32
         )
-        w = n * np.power(1.0 + stale, -self.staleness_exponent)
-        try:
-            agg = np.asarray(
-                self.defense.aggregate(
-                    jnp.asarray(deltas), jnp.asarray(w),
-                    {"global": jnp.zeros_like(jnp.asarray(self.params))},
-                ),
-                np.float32,
-            )
-        except Exception:
-            logger.exception(
-                "async defense %s failed; weighted-mean fallback",
-                self.defense.name,
-            )
-            agg = (w[:, None] * deltas).sum(0) / max(float(w.sum()), 1e-12)
-        self.params = self.params + self.server_lr * agg
+        w, stale = staleness_weights(versions, self.version, n,
+                                     self.staleness_exponent)
+        self.params = fedbuff_aggregate(self.params, deltas, w,
+                                        self.defense, self.server_lr)
         self.version += 1
         mean_loss = float(np.mean(
             [m.get("metrics", {}).get("loss", np.nan) for m in buffer]
