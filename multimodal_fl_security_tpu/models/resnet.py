@@ -8,9 +8,10 @@ Deliberate divergences, documented per SURVEY.md §7:
     model keeps init buffers — latent bug, SURVEY.md §2.9-4), and BN is
     known-broken under FedAvg with non-IID clients; GroupNorm keeps the
     model a pure function of parameters, which is also what the stacked
-    [C, ...] client-vmap wants. ``norm="batch"`` is available for parity
-    experiments (batch stats then stay local/frozen, matching the
-    reference simulation's effective behavior).
+    [C, ...] client-vmap wants. ``norm="batch"`` selects the
+    reference-compat frozen-stats mode (``FrozenBatchNorm``): stats stay
+    at init exactly as in the reference simulation, reducing BN to its
+    learnable per-channel affine.
   - **Pretrained weights come from a local file**, not a download (this
     environment has no network egress): ``ExperimentConfig.pretrained_path``
     merges a pickled parameter pytree into the fresh init by name+shape
@@ -29,6 +30,29 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from multimodal_fl_security_tpu.models.registry import MODELS
+
+
+class FrozenBatchNorm(nn.Module):
+    """Reference-compat "batch" normalization: stats frozen at init.
+
+    The reference's SIMULATION path never aggregates BatchNorm running
+    stats — it exchanges ``model.parameters()`` only, so the global
+    model normalizes with init statistics (mean 0, var 1) forever
+    (latent bug, SURVEY.md §2.9-4; reference: run_experiments.py:238).
+    With init stats, BN reduces to the learnable per-channel affine
+    ``y = x * scale + bias`` — implemented here as exactly that, so the
+    reference-compat mode is a pure function of parameters and runs
+    under the client vmap with no mutable collections.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class ResNetBlock(nn.Module):
@@ -67,10 +91,18 @@ class ResNet(nn.Module):
     width: int = 64
     dtype: Any = jnp.float32
     head_dropout: float = 0.3  # reference: cub200_cnn.py:44-48
+    #: "group" (default) or "batch" (reference-compat frozen-stats mode,
+    #: see FrozenBatchNorm)
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = False) -> jnp.ndarray:
-        norm = partial(nn.GroupNorm, num_groups=32)
+        if self.norm == "batch":
+            norm = partial(FrozenBatchNorm, dtype=self.dtype)
+        elif self.norm == "group":
+            norm = partial(nn.GroupNorm, num_groups=32)
+        else:
+            raise ValueError(f"unknown norm {self.norm!r}")
         x = batch["image"].astype(self.dtype)
         x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)

@@ -145,3 +145,53 @@ def test_fused_stem_matches_unfused_exactly():
         np.asarray(fused.apply({"params": p13}, x13)),
         np.asarray(plain.apply({"params": pp13}, x13)),
         rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------- norm="batch" ---
+def test_resnet_frozen_batchnorm_reference_compat_mode():
+    """norm="batch" is the reference-compat mode: BatchNorm with stats
+    frozen at init (the reference simulation never aggregates BN buffers,
+    SURVEY.md 2.9-4), i.e. a learnable per-channel affine. It must be a
+    pure function of params (no mutable collections) and train under the
+    engine's client vmap."""
+    import jax
+    from multimodal_fl_security_tpu.data.datasets import Dataset
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    rng = np.random.default_rng(0)
+    model = create_model("resnet18", num_classes=4, norm="batch")
+    sample = {"image": rng.normal(0, 1, (4, 16, 16, 3)).astype(np.float32),
+              "label": np.zeros(4, np.int32)}
+    variables = init_model(model, sample, seed=0)
+    assert set(variables.keys()) == {"params"}, (
+        "frozen-BN mode must not create mutable collections"
+    )
+    params = variables["params"]
+    flat_names = jax.tree_util.tree_flatten_with_path(params)[0]
+    joined = ["/".join(str(k) for k in kp) for kp, _ in flat_names]
+    assert any("FrozenBatchNorm" in n for n in joined)
+
+    n, c = 16, 2
+    ds = Dataset(
+        {"image": rng.normal(0, 1, (c * n, 16, 16, 3)).astype(np.float32),
+         "label": rng.integers(0, 4, c * n).astype(np.int32)}, 4)
+    idx = [np.arange(i * n, (i + 1) * n) for i in range(c)]
+    cd = stack_clients(ds, idx, pad_multiple=8, layout="flat")
+    engine = RoundEngine(model, cd,
+                         TrainSpec(learning_rate=0.01, batch_size=8,
+                                   local_epochs=1))
+    new_params, metrics = engine.run_round(params, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["client_loss_mean"]))
+
+
+def test_resnet_rejects_unknown_norm():
+    import pytest as _pytest
+    from multimodal_fl_security_tpu.models import create_model, init_model
+
+    model = create_model("resnet18", num_classes=4, norm="layer")
+    sample = {"image": np.zeros((2, 16, 16, 3), np.float32),
+              "label": np.zeros(2, np.int32)}
+    with _pytest.raises(ValueError, match="norm"):
+        init_model(model, sample, seed=0)
