@@ -114,8 +114,12 @@ def main() -> None:
     )
     params = init_model(model, sample, seed=0)["params"]
 
+    import os
+
     spec = TrainSpec(
-        learning_rate=0.01, local_epochs=local_epochs, batch_size=batch_size
+        learning_rate=0.01, local_epochs=local_epochs, batch_size=batch_size,
+        # experiment knob (default 1 = the shipped configuration)
+        scan_unroll=int(os.environ.get("MFT_BENCH_UNROLL", "1")),
     )
     engine = RoundEngine(
         model,

@@ -91,6 +91,10 @@ class TrainSpec:
     #: clip-norm budget, like requires_grad=False) and out of the final
     #: updates (so weight decay cannot move them either).
     frozen_prefixes: tuple = ()
+    #: unroll factor for the per-batch training scan (XLA sees `unroll`
+    #: steps per iteration — more fusion surface at the cost of compile
+    #: time). 1 = plain scan.
+    scan_unroll: int = 1
 
 
 def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
@@ -179,7 +183,8 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                step_fn, (params, opt_state), (perm, skeys)
+                step_fn, (params, opt_state), (perm, skeys),
+                unroll=max(1, int(spec.scan_unroll)),
             )
             return (params, opt_state), jnp.mean(losses)
 
