@@ -58,3 +58,23 @@ def test_sorted_reduce_with_d_padding(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(coordinate_median(u)), rtol=1e-5, atol=1e-5
     )
+
+
+def test_client_stem_conv_matches_grouped_conv(rng):
+    # Per-client-weight fused stem (ops/client_conv.py) vs the XLA
+    # grouped-conv lowering it replaces, in interpreter mode.
+    from multimodal_fl_security_tpu.ops.client_conv import (
+        client_stem_conv, client_stem_conv_reference)
+    import jax
+
+    c, b = 3, 4
+    key = jax.random.PRNGKey(0)
+    kx, kw = jax.random.split(key)
+    x = jax.random.normal(kx, (c, b, 28 * 28 * 8), jnp.float32)
+    w4 = jax.random.normal(kw, (c, 4, 4, 8, 128), jnp.float32) * 0.1
+    got = client_stem_conv(x, w4, interpret=True)
+    expected = client_stem_conv_reference(x, w4)
+    assert got.shape == (c, b, 14, 14, 128)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=1e-4, atol=1e-4
+    )
