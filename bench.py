@@ -54,6 +54,15 @@ def main() -> None:
     # first MXU contraction has 3x3x8=72 lanes instead of 9.
     n_pad = ((samples_per_client + batch_size - 1) // batch_size) * batch_size
 
+    import os
+
+    # Resident layout for the stem (docs/performance.md "Space-to-depth
+    # stem"): "s2d" stores 2x2 pixel blocks of the padded image so the
+    # per-client stem runs as a 2x2/stride-1 conv over the block grid
+    # instead of the 4x4/stride-2 grouped conv (ops/s2d.py). Same math,
+    # same model params.
+    layout = os.environ.get("MFT_BENCH_LAYOUT", "s2d")
+
     @jax.jit  # fused: one output buffer instead of eager temporaries
     def build(key):
         kimg, klab = jax.random.split(key)
@@ -76,6 +85,13 @@ def main() -> None:
              jnp.zeros((num_clients, n_pad, 28, 28, 7), jnp.float32)],
             axis=-1,
         )
+        if layout == "s2d":
+            from multimodal_fl_security_tpu.ops.s2d import space_to_depth
+
+            blocks = space_to_depth(images)  # [C, N, 15, 15, 32]
+            flat = blocks.reshape(num_clients, n_pad, 15 * 15 * 32)
+            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, 7296 - 7200)))
+            return flat.astype(jnp.bfloat16), labels
         # Stored FLAT [C, N, 6272] (49*128 — zero tile padding; the NHWC
         # resident layout tile-pads up to 5.2x) and bf16 (the model
         # computes bf16 anyway); measured ~9% faster per round than
@@ -88,6 +104,8 @@ def main() -> None:
         )
 
     images, labels = build(jax.random.PRNGKey(0))
+    image_key = "image_s2d" if layout == "s2d" else "image"
+    image_shape = (15, 15, 32) if layout == "s2d" else (28, 28, 8)
     mask = np.zeros((num_clients, n_pad), np.float32)
     mask[:, :samples_per_client] = 1.0  # 600 real + 8 padded, as before
     # PRODUCT flat-resident layout (data/stacking.py): feature_shapes
@@ -96,11 +114,11 @@ def main() -> None:
     # ExperimentRunner uses (resident_layout="flat" default), so the
     # number below measures the framework path, not a bespoke bench.
     client_data = ClientData(
-        arrays={"image": images, "label": labels},
+        arrays={image_key: images, "label": labels},
         mask=mask,
         counts=np.full((num_clients,), samples_per_client, np.int32),
         num_classes=10,
-        feature_shapes={"image": (28, 28, 8)},
+        feature_shapes={image_key: image_shape},
     )
 
     # bf16 conv/dense compute on the MXU; params, grads, and the Krum
@@ -114,7 +132,6 @@ def main() -> None:
     )
     params = init_model(model, sample, seed=0)["params"]
 
-    import os
 
     spec = TrainSpec(
         learning_rate=0.01, local_epochs=local_epochs, batch_size=batch_size,

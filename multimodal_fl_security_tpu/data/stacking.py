@@ -103,6 +103,39 @@ def to_flat_layout(
                       num_classes=cd.num_classes, feature_shapes=shapes)
 
 
+def to_s2d_layout(cd: ClientData, key: str = "image",
+                  dtype: Optional[np.dtype] = None) -> ClientData:
+    """Re-block the resident image modality to space-to-depth layout.
+
+    ``arrays[key]`` (either logical [C, N, H, W, ch] or flat [C, N, D']
+    with ``feature_shapes[key]``) is replaced by ``f"{key}_s2d"`` holding
+    2x2 pixel blocks of the (1,1)-padded image, stored flat 128-aligned.
+    SimpleCNN's stem consumes blocks directly as a 2x2/stride-1 conv
+    (ops/s2d.py) — halves the stem's isolated dw vs the grouped-conv
+    lowering at C=100 (benchmarks/fused_conv_bench.py). The
+    eval/test side keeps plain images; parameters are layout-independent.
+    """
+    from multimodal_fl_security_tpu.ops.s2d import (
+        s2d_block_shape, space_to_depth)
+
+    arr = cd.arrays[key]
+    shapes = dict(cd.feature_shapes)
+    logical = shapes.pop(key, None)
+    if logical is not None:
+        c, n = arr.shape[:2]
+        d = int(np.prod(logical))
+        arr = np.asarray(arr)[:, :, :d].reshape((c, n) + tuple(logical))
+    if arr.ndim != 5:
+        raise ValueError(f"s2d layout needs [C, N, H, W, ch]; got {arr.shape}")
+    blocks = space_to_depth(np.ascontiguousarray(arr))
+    arrays = {k: v for k, v in cd.arrays.items() if k != key}
+    arrays[f"{key}_s2d"] = blocks
+    shapes[f"{key}_s2d"] = s2d_block_shape(arr.shape[2:])
+    out = ClientData(arrays=arrays, mask=cd.mask, counts=cd.counts,
+                     num_classes=cd.num_classes, feature_shapes=shapes)
+    return to_flat_layout(out, dtype=dtype)
+
+
 def make_batch_adapter(feature_shapes: Dict[str, tuple]):
     """Build adapt(batch) restoring flat-stored features to logical shape.
 
@@ -162,6 +195,11 @@ def stack_clients(
                     num_classes=dataset.num_classes)
     if layout == "flat":
         cd = to_flat_layout(cd, dtype=resident_dtype)
+    elif layout == "s2d":
+        # Data poisoning happens on the shards BEFORE stacking
+        # (experiments/runner.py), so image-space triggers are blocked
+        # along with the image — the layout cannot bypass an attack.
+        cd = to_s2d_layout(cd, dtype=resident_dtype)
     elif layout != "nhwc":
         raise ValueError(f"unknown resident layout {layout!r}")
     return cd

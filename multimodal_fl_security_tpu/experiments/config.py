@@ -93,7 +93,11 @@ class ExperimentConfig:
     # resident inflates up to 5.2x in HBM and OOMs at C=400) and ~9% faster
     # per-step gathers; the engine reshapes each batch back at the model
     # boundary. "nhwc" keeps the logical shapes resident (compat mode).
-    # Numerically identical: the reshape is exact.
+    # "s2d" additionally re-blocks the image modality to space-to-depth
+    # (ops/s2d.py) so the SimpleCNN stem runs as a 2x2/stride-1 conv on
+    # blocks — simple_cnn-family models only, and incompatible with
+    # image-space augmentation. Numerically identical: the reshape /
+    # re-blocking is exact.
     resident_layout: str = "flat"
     # Optional storage dtype for flat-resident features (e.g. "bfloat16"
     # when compute_dtype is bfloat16 — halves resident HBM + gather

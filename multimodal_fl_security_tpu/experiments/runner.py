@@ -52,6 +52,22 @@ class ExperimentRunner:
         rng = jax.random.PRNGKey(config.seed)
         init_key, round_key = jax.random.split(rng)
 
+        if config.resident_layout == "s2d":
+            # Space-to-depth residents feed the SimpleCNN stem's blocked
+            # input path (ops/s2d.py); other models have no s2d stem, and
+            # image-space augmentation cannot run on blocks.
+            if config.default_model() not in ("simple_cnn", "mnist_cnn"):
+                raise ValueError(
+                    "resident_layout='s2d' requires a simple_cnn-family "
+                    f"model; dataset {config.dataset!r} maps to "
+                    f"{config.default_model()!r}"
+                )
+            if config.augment != "none":
+                raise ValueError(
+                    "resident_layout='s2d' is incompatible with image-space "
+                    "augmentation (augment=" + config.augment + ")"
+                )
+
         # L1: data ------------------------------------------------------
         ds_kwargs = dict(config.dataset_params)
         train = load_dataset(config.dataset, "train", config.data_dir, **ds_kwargs)

@@ -37,8 +37,13 @@ class ConvPoolFused(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, s2d: bool = False) -> jnp.ndarray:
+        """``x`` is either the image [B, H, W, ch] (conv path) or its
+        space-to-depth blocks [B, HB, WB, 4*ch] when ``s2d`` (the resident
+        layout ops/s2d.py builds — the stem then runs as four batched
+        GEMMs instead of a grouped conv). Parameters are identical either
+        way, so a model trained on blocks evaluates on images."""
+        cin = x.shape[-1] // 4 if s2d else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, cin, self.features), jnp.float32,
@@ -51,10 +56,15 @@ class ConvPoolFused(nn.Module):
         for g, (di, dj) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
             w4 = w4.at[di : di + 3, dj : dj + 3, :,
                        g * self.features : (g + 1) * self.features].set(k)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w4, (2, 2), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if s2d:
+            from multimodal_fl_security_tpu.ops.s2d import s2d_stem_conv
+
+            y = s2d_stem_conv(x.astype(self.dtype), w4)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w4, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         b, h, w, _ = y.shape
         y = y.reshape(b, h, w, 4, self.features).max(axis=3)
         return nn.relu(y + bias.astype(self.dtype))
@@ -72,10 +82,18 @@ class SimpleCNN(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict[str, Any], train: bool = False) -> jnp.ndarray:
-        x = batch["image"].astype(self.dtype)
-        if self.fused_stem and x.shape[1] >= 2 and x.shape[2] >= 2:
-            x = ConvPoolFused(32, dtype=self.dtype)(x)
+        if "image_s2d" in batch:
+            # Space-to-depth resident layout (ops/s2d.py): the stem runs
+            # on pre-blocked input; params and downstream shapes match the
+            # image path, so train-on-blocks / eval-on-images just works.
+            x = ConvPoolFused(32, dtype=self.dtype)(
+                batch["image_s2d"].astype(self.dtype), s2d=True)
+        elif self.fused_stem and batch["image"].shape[1] >= 2 \
+                and batch["image"].shape[2] >= 2:
+            x = ConvPoolFused(32, dtype=self.dtype)(
+                batch["image"].astype(self.dtype))
         else:
+            x = batch["image"].astype(self.dtype)
             x = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
