@@ -205,6 +205,9 @@ def main(argv=None) -> int:
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
     args = build_parser().parse_args(argv)
+    from multimodal_fl_security_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     return args.fn(args)
 
 

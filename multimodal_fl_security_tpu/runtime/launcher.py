@@ -224,6 +224,10 @@ def main(argv=None) -> int:
         # a guard for embedders calling main() directly.
         jax.config.update("jax_platforms", platform)
 
+    from multimodal_fl_security_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.config_json:
         config = json.loads(args.config_json)
     elif args.config:
