@@ -173,6 +173,20 @@ def test_default_yaml_loads():
     assert cfg.num_clients == 5 and cfg.dataset == "synthetic"
 
 
+def test_experiment_config_yaml_loads():
+    # The shipped study variant: adaptive_krum vs krum on dirichlet data,
+    # with the type-specific key routed into attack_params.
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "experiment_config.yaml"))
+    assert cfg.name == "attack_defense_study"
+    assert cfg.attack_enabled and cfg.attack_type == "adaptive_krum"
+    assert cfg.malicious_clients == [0, 1]
+    assert cfg.attack_params["perturbation_scale"] == 0.05
+    assert cfg.defense_enabled and cfg.defense_type == "krum"
+    assert cfg.num_malicious_assumed == 2
+    assert cfg.partition == "dirichlet" and cfg.alpha == 0.5
+
+
 # ---------------------------------------------------------------- tracking ---
 def test_tracker_writes_results_json(tmp_path):
     from multimodal_fl_security_tpu.utils.tracking import ExperimentTracker
