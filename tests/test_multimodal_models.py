@@ -115,8 +115,8 @@ def test_log_mel_spectrogram_shapes_and_discrimination():
     assert mel_low.shape[0] == 1 and mel_low.shape[1] == 20
     assert mel_low.shape[3] == 1
     # Energy concentrates in different mel bands for different pitches.
-    lo_band = int(np.asarray(mel_low).mean(2).argmax(1)[0])
-    hi_band = int(np.asarray(mel_high).mean(2).argmax(1)[0])
+    lo_band = int(np.asarray(mel_low).mean(2).argmax(1).ravel()[0])
+    hi_band = int(np.asarray(mel_high).mean(2).argmax(1).ravel()[0])
     assert hi_band > lo_band
 
 
