@@ -5,7 +5,8 @@ impact — every committed label_flip artifact before round 3 sat at
 ASR <= 5% because IID shards outvote the flip).
 
 The effective regime (this script demonstrates it on real sklearn
-digits): Dirichlet alpha=0.3 partitioning concentrates class ownership;
+digits): Dirichlet alpha=2.0 partitioning (ALPHA below; mild
+heterogeneity — the committed artifacts are named *_dir20 after it);
 the malicious clients are chosen AS the top holders of a source class
 they majority-own (~70%, calibrated so honest clients keep enough true
 source data for a defense to win), and they flip 100% of their source

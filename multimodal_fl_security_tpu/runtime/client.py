@@ -208,6 +208,11 @@ class FLClient:
                         "delta": flat - np.asarray(msg["params"], np.float32),
                     })
                 elif msg.get("type") == "fit":
+                    if self._secagg is not None and msg.get("pubs"):
+                        # Install the round's key directory (promotes the
+                        # announced next-round keypair — per-round key
+                        # rotation, secure_agg.py module docstring §4).
+                        self._secagg.begin_round(msg["pubs"])
                     flat, n, metrics = self.fit(msg["params"], msg["round"])
                     reply = {"num_examples": n,
                              "client_id": self.client_id,

@@ -36,6 +36,21 @@ Protocol
    stripping its uncancelled pairwise masks), then decodes:
    ``new_global = global + sum w_i d_i / sum w_i``. Fewer than t share
    replies abort the round (params unchanged).
+4. PER-ROUND KEY ROTATION: Bonawitz et al.'s protocol is one-shot — in
+   a multi-round deployment a single long-lived DH key would let a
+   server that reconstructs ``x_i`` after client i drops in round k
+   retroactively strip i's pairwise masks from every EARLIER round
+   (where it also legitimately learned ``b_i^r``), unmasking i's past
+   individual updates. So every round uses FRESH DH keys, piggybacked
+   on the existing legs: each fit reply carries the client's public key
+   for the NEXT round (``next_pub``); the unmask request relays the
+   assembled next-round directory (``next_pubs``); and each unmask
+   reply carries t-of-n shares of the client's next-round private key,
+   encrypted per holder under next-round pairwise keys
+   (``next_x_shares``). Reconstructing ``x_d^r`` therefore unlocks
+   round r's pairwise masks ONLY — every other round used different
+   keys, and per round the contributor/dropped disjointness keeps
+   ``b_i^r`` and ``x_i^r`` mutually exclusive.
 
 What the server still sees: per-client example counts and training-loss
 metrics (cleartext, like the reference), and the exact participant set.
@@ -164,6 +179,11 @@ class SecAggClient:
         self._round_b: Dict[int, tuple] = {}
         #: own Shamir share of the DH private key
         self._x_self_share: Optional[int] = None
+        #: fresh (private, public) for the NEXT round (per-round key
+        #: rotation — see module docstring §4); generated with each
+        #: round_payload, shared in the unmask reply, promoted to
+        #: current by begin_round when the next fit's directory arrives.
+        self._next: Optional[tuple] = None
 
     # -- key exchange ------------------------------------------------------
     def public_key_hex(self) -> str:
@@ -199,6 +219,23 @@ class SecAggClient:
         }
         return {"type": "x_shares", "client_id": self.client_id,
                 "shares": enc}
+
+    def begin_round(self, pubs: Dict[str, str]) -> None:
+        """Install the round's key directory, promoting this client's
+        next-round keypair first when the directory says so (the server
+        builds each round's directory from the ``next_pub`` values of the
+        previous round's fit replies)."""
+        mine = int(pubs[str(self.client_id)], 16)
+        if mine != self.public:
+            if self._next is not None and self._next[1] == mine:
+                self._private, self.public = self._next
+                self._next = None
+            else:
+                raise ValueError(
+                    "server directory carries a public key for this client "
+                    "that is neither its current nor its announced next key"
+                )
+        self.set_peer_keys(pubs)
 
     # -- masking -----------------------------------------------------------
     def _pair_seed(self, peer: int, round_idx: int) -> bytes:
@@ -256,7 +293,11 @@ class SecAggClient:
             for j, sh in shares.items()
             if j != self.client_id
         }
-        return {"masked": enc, "b_shares": enc_shares}
+        # Prune stale per-round state; announce fresh keys for round r+1.
+        self._round_b.pop(round_idx - 2, None)
+        self._next = generate_keypair()
+        return {"masked": enc, "b_shares": enc_shares,
+                "next_pub": format(self._next[1], "x")}
 
     def unmask_reply(self, msg: Dict[str, Any]) -> Dict[str, Any]:
         """Answer the server's unmask request with plaintext shares.
@@ -300,8 +341,27 @@ class SecAggClient:
             key = shared_seed(self._private, self._peer_pubs[owner], 0,
                               DOMAIN_XSHARE)
             x_out[owner_s] = format(decrypt_share(key, enc), "x")
-        return {"type": "unmask_reply", "client_id": self.client_id,
-                "round": round_idx, "b": b_out, "x": x_out}
+        reply = {"type": "unmask_reply", "client_id": self.client_id,
+                 "round": round_idx, "b": b_out, "x": x_out}
+        # Key rotation (module docstring §4): distribute t-of-n shares of
+        # this client's NEXT-round private key among the next-round
+        # directory, each share encrypted under next-round pairwise keys.
+        next_pubs = msg.get("next_pubs")
+        if next_pubs and self._next is not None:
+            holders = sorted(int(c) for c in next_pubs)
+            if len(holders) >= self.threshold:
+                x_priv = self._next[0]
+                shares = split_secret(x_priv, holders, self.threshold)
+                reply["next_x_shares"] = {
+                    str(j): encrypt_share(
+                        shared_seed(x_priv, int(next_pubs[str(j)], 16), 0,
+                                    DOMAIN_XSHARE),
+                        sh,
+                    )
+                    for j, sh in shares.items()
+                    if j != self.client_id
+                }
+        return reply
 
 
 class SecAggServerRound:
@@ -344,7 +404,21 @@ class SecAggServerRound:
         given their reconstructed DH PRIVATE keys ``{dropped_id: x_d}``
         and the public-key directory. Contributor i added
         ``sign(i, d) * PRG(seed_id)``; ``seed_id`` is symmetric, so the
-        server recomputes it as ``shared_seed(x_d, pub_i, round)``."""
+        server recomputes it as ``shared_seed(x_d, pub_i, round)``.
+
+        Every reconstructed key is verified against the directory
+        (``g^x_d == pub_d``) BEFORE any mask is applied: Shamir
+        reconstruction from >= t shares succeeds arithmetically even
+        when one share is wrong (malicious or corrupted holder), and an
+        unverified wrong key would silently strip garbage into the
+        aggregate. Raises ValueError so the caller aborts the round."""
+        for d, x_d in x_keys.items():
+            if pow(DH_GENERATOR, int(x_d), DH_PRIME) != int(pubs[int(d)]):
+                raise ValueError(
+                    f"reconstructed DH key for dropped client {d} does not "
+                    "match its public key — bad share(s); aborting round "
+                    "instead of applying a corrupt unmask"
+                )
         for d, x_d in x_keys.items():
             d = int(d)
             for i in self.contributors:

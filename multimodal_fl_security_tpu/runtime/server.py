@@ -87,10 +87,14 @@ class FLServer:
         #: t > n/2 so no colluding minority can reconstruct.
         self.secagg_threshold = (int(secagg_threshold)
                                  if secagg_threshold else None)
-        #: relayed encrypted x-shares: owner -> {holder: enc_hex}
+        #: relayed encrypted x-shares for the CURRENT round's keys:
+        #: owner -> {holder: enc_hex}. Rotated every round (clients use
+        #: fresh DH keys per round — secure_agg.py module docstring §4).
         self._xshares: Dict[int, Dict[str, str]] = {}
-        #: public keys as ints (for dropped-key pairwise-seed recompute)
+        #: current round's public keys as ints (dropped-key pairwise-seed
+        #: recompute) and as the hex directory relayed in fit messages
         self._pubs_int: Dict[int, int] = {}
+        self._pubs_hex: Dict[str, str] = {}
         self._conn_ids: Dict[Any, int] = {}
         #: per-round deadline for a client's fit reply; a client that dies or
         #: straggles past it is dropped from the round (and, on a dead
@@ -129,9 +133,16 @@ class FLServer:
                                            else len(conns) - 1)
                 if "secagg_pub" in hello:
                     pubs[str(self._conn_ids[conn])] = hello["secagg_pub"]
-                    client_scale = float(
-                        hello.get("secagg_scale", self.secagg_scale)
-                    )
+                    if "secagg_scale" not in hello:
+                        # Defaulting here would vacuously pass the very
+                        # mismatch this guard exists to reject.
+                        raise RuntimeError(
+                            f"client {cid} sent secagg_pub but no "
+                            "secagg_scale in hello; refusing — the server "
+                            "cannot verify the client's fixed-point "
+                            "encoding matches its decode scale"
+                        )
+                    client_scale = float(hello["secagg_scale"])
                     if client_scale != self.secagg_scale:
                         raise RuntimeError(
                             f"client {cid} encodes at secagg_scale="
@@ -148,6 +159,7 @@ class FLServer:
                         "no secagg_pub in hello"
                     )
                 self._pubs_int = {int(c): int(p, 16) for c, p in pubs.items()}
+                self._pubs_hex = dict(pubs)
                 if self.secagg_threshold is None:
                     self.secagg_threshold = max(2, self.num_clients // 2 + 1)
                 # Relay the public-key directory + threshold (SecAgg
@@ -169,7 +181,12 @@ class FLServer:
                     )
 
             for r in range(1, self.num_rounds + 1):
-                self._run_round(r, conns)
+                if self._run_round(r, conns) is False:
+                    # The run can no longer proceed safely (e.g. live
+                    # clients fell below the Shamir threshold): keep the
+                    # current params and release the survivors cleanly.
+                    logger.error("ending run early after round %d", r)
+                    break
 
             for conn in conns:
                 send_msg(conn, {"type": "done"})
@@ -327,7 +344,7 @@ class FLServer:
                 pass
 
     def _run_round_secagg(self, round_idx: int,
-                          conns: List[socket.socket]) -> None:
+                          conns: List[socket.socket]) -> Optional[bool]:
         """One round under double-masked aggregation (secure_agg.py).
 
         The server sums self+pairwise-masked uint64 vectors, then runs
@@ -337,11 +354,37 @@ class FLServer:
         the round completes even when a contributor dies AFTER submitting
         but BEFORE unmasking (Bonawitz et al. CCS'17 §4); with fewer, the
         round aborts (params unchanged).
+
+        Per-round key rotation (secure_agg.py module docstring §4): the
+        fit message relays the round's public-key directory, fit replies
+        announce next-round keys, and unmask replies distribute the
+        next-round key shares — so a dropped client's reconstructed key
+        never unlocks any other round's masks.
+
+        Returns False when the run cannot continue (live clients below
+        the Shamir threshold: no future round could ever be unmasked).
         """
         from multimodal_fl_security_tpu.runtime.secure_agg import (
             SecAggServerRound,
             reconstruct_secrets,
         )
+
+        if len(conns) < self.secagg_threshold:
+            logger.error(
+                "round %d: %d live clients < Shamir threshold %d — no "
+                "round can be unmasked any more; ending the run with the "
+                "current params", round_idx, len(conns),
+                self.secagg_threshold,
+            )
+            self.history.append({
+                "round": round_idx, "mean_client_loss": None,
+                "num_rejected": 0, "num_failures": 0,
+                "num_participants": len(conns),
+                "defense": self.defense.name,
+                "secure_aggregation": True, "aborted": True,
+                "abort_reason": "below_shamir_threshold",
+            })
+            return False
 
         participants = [self._conn_ids[c] for c in conns]
         alive: List[socket.socket] = []
@@ -350,7 +393,8 @@ class FLServer:
             try:
                 send_msg(conn, {"type": "fit", "round": round_idx,
                                 "params": self.params,
-                                "participants": participants})
+                                "participants": participants,
+                                "pubs": self._pubs_hex})
                 alive.append(conn)
             except OSError:
                 logger.warning("round %d: client socket dead at send, "
@@ -362,12 +406,16 @@ class FLServer:
         loss_pairs: List[tuple] = []
         #: owner -> {holder: enc_share} of this round's self-mask seeds
         b_enc: Dict[int, Dict[str, str]] = {}
+        #: next-round public keys announced in fit replies (key rotation)
+        next_pubs: Dict[str, str] = {}
         replies = self._gather_replies(alive, round_idx, dead)
         for reply in replies:
             cid = self._conn_ids[reply.pop("_conn")]
             w = float(reply.get("num_examples", 1))
             rd.add(cid, reply["masked"], w)
             b_enc[cid] = dict(reply.get("b_shares", {}))
+            if reply.get("next_pub"):
+                next_pubs[str(cid)] = reply["next_pub"]
             m = dict(reply.get("metrics", {}))
             m.setdefault("client_id", cid)
             metrics.append(m)
@@ -387,44 +435,64 @@ class FLServer:
             )
             aborted = True
 
+        # Unmask round — ALWAYS runs, even for an aborted round: it also
+        # carries the key-rotation pipeline (next-round directory out,
+        # next-round key shares back). An aborted round reveals NOTHING
+        # (empty contributor/dropped lists, so no b or x share leaves any
+        # client) — it is a rekey-only exchange.
+        reveal_contributors = [] if aborted else contributors
+        reveal_dropped = [] if aborted else dropped
+        survivors: List[socket.socket] = []
+        unmask_dead: List[socket.socket] = []
+        for conn in conns:
+            if conn in dead:
+                continue
+            holder = self._conn_ids[conn]
+            msg = {
+                "type": "unmask", "round": round_idx,
+                "contributors": reveal_contributors,
+                "dropped": reveal_dropped,
+                "enc_b": {
+                    str(o): b_enc[o][str(holder)]
+                    for o in reveal_contributors
+                    if o != holder and str(holder) in b_enc.get(o, {})
+                },
+                "enc_x": {
+                    str(d): self._xshares[d][str(holder)]
+                    for d in reveal_dropped
+                    if str(holder) in self._xshares.get(d, {})
+                },
+                "next_pubs": next_pubs,
+            }
+            try:
+                send_msg(conn, msg)
+                survivors.append(conn)
+            except OSError:
+                logger.warning(
+                    "round %d: survivor socket dead at unmask send",
+                    round_idx,
+                )
+                unmask_dead.append(conn)
+        share_replies: List[Dict[str, Any]] = []
+        next_xshares: Dict[int, Dict[str, str]] = {}
+        rekey_failed: List[socket.socket] = []
+        for r_ in self._gather_replies(survivors, round_idx, unmask_dead):
+            conn = r_.pop("_conn")
+            cid = self._conn_ids[conn]
+            nxt = r_.get("next_x_shares")
+            if isinstance(nxt, dict) and nxt:
+                next_xshares[cid] = dict(nxt)
+            elif round_idx < self.num_rounds:
+                # Without next-round key shares this client's dropout
+                # could never be recovered — retire it now.
+                logger.warning(
+                    "round %d: client %d sent no next-round key shares; "
+                    "dropping it from the run", round_idx, cid,
+                )
+                rekey_failed.append(conn)
+            share_replies.append(r_)
+        dead.extend(unmask_dead)
         if not aborted:
-            # Unmask round (always: self masks must come off). Each live
-            # contributor gets the encrypted shares it holds.
-            survivors: List[socket.socket] = []
-            unmask_dead: List[socket.socket] = []
-            for conn in conns:
-                if conn in dead:
-                    continue
-                holder = self._conn_ids[conn]
-                msg = {
-                    "type": "unmask", "round": round_idx,
-                    "contributors": contributors, "dropped": dropped,
-                    "enc_b": {
-                        str(o): b_enc[o][str(holder)]
-                        for o in contributors
-                        if o != holder and str(holder) in b_enc.get(o, {})
-                    },
-                    "enc_x": {
-                        str(d): self._xshares[d][str(holder)]
-                        for d in dropped
-                        if str(holder) in self._xshares.get(d, {})
-                    },
-                }
-                try:
-                    send_msg(conn, msg)
-                    survivors.append(conn)
-                except OSError:
-                    logger.warning(
-                        "round %d: survivor socket dead at unmask send",
-                        round_idx,
-                    )
-                    unmask_dead.append(conn)
-            share_replies = [
-                {k: v for k, v in r.items() if k != "_conn"}
-                for r in self._gather_replies(survivors, round_idx,
-                                              unmask_dead)
-            ]
-            dead.extend(unmask_dead)
             try:
                 b_seeds = reconstruct_secrets(
                     share_replies, "b", contributors, self.secagg_threshold
@@ -441,6 +509,14 @@ class FLServer:
                 logger.error("round %d: unmask failed (%s); aborting round",
                              round_idx, e)
                 aborted = True
+
+        # Rotate to the next round's keys/shares (this round's keys are
+        # never used again — a future dropout reconstruction cannot touch
+        # this round's masks).
+        self._pubs_hex = dict(next_pubs)
+        self._pubs_int = {int(c): int(p, 16) for c, p in next_pubs.items()}
+        self._xshares = next_xshares
+        dead.extend(rekey_failed)
 
         self._forget_dead(conns, dead)
         if not rd.contributors:

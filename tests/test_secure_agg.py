@@ -234,6 +234,102 @@ def test_client_refuses_contributor_and_dropped_overlap():
         })
 
 
+def test_per_round_key_rotation_two_rounds_with_dropout():
+    """Multi-round protocol with per-round DH key rotation: round 1
+    completes and pipelines fresh keys/shares; client 2 then drops in
+    round 2, and its RECONSTRUCTED round-2 key (a) unmasks round 2
+    correctly and (b) is NOT its round-1 key — so a server holding
+    round-1 transcripts cannot retroactively strip round-1 masks."""
+    from multimodal_fl_security_tpu.runtime.secure_agg import (
+        reconstruct_secrets,
+    )
+
+    clients, xshares, t = _handshaken_clients(4)
+    dim = 128
+    rng = np.random.default_rng(7)
+    parts = [0, 1, 2, 3]
+    round1_privates = {c.client_id: c._private for c in clients}
+
+    # ---- round 1: everyone contributes; unmask relays next_pubs.
+    deltas1 = [rng.normal(0, 0.1, dim) for _ in range(4)]
+    rd1 = SecAggServerRound(dim)
+    next_pubs = {}
+    for c in clients:
+        p = c.round_payload(deltas1[c.client_id], 1.0, 1, parts)
+        c._last_b_shares = p["b_shares"]
+        next_pubs[str(c.client_id)] = p["next_pub"]
+        rd1.add(c.client_id, p["masked"], 1.0)
+    replies1 = []
+    for c in clients:
+        replies1.append(c.unmask_reply({
+            "round": 1, "contributors": parts, "dropped": [],
+            "enc_b": {
+                str(o): clients[o]._last_b_shares[str(c.client_id)]
+                for o in parts if o != c.client_id
+            },
+            "enc_x": {},
+            "next_pubs": next_pubs,
+        }))
+        assert "next_x_shares" in replies1[-1]
+    rd1.subtract_self_masks(
+        reconstruct_secrets(replies1, "b", parts, t))
+    np.testing.assert_allclose(
+        rd1.weighted_mean_delta(),
+        sum(deltas1) / 4, atol=1e-4)
+
+    # ---- server-side rotation.
+    next_xshares = {r["client_id"]: r["next_x_shares"] for r in replies1}
+    pubs2_int = {int(k): int(v, 16) for k, v in next_pubs.items()}
+    for c in clients:
+        c.begin_round(next_pubs)
+        assert c._private != round1_privates[c.client_id]  # promoted
+
+    # ---- round 2: client 2 never submits.
+    deltas2 = [rng.normal(0, 0.1, dim) for _ in range(4)]
+    alive = [0, 1, 3]
+    rd2 = SecAggServerRound(dim)
+    for cid in alive:
+        p = clients[cid].round_payload(deltas2[cid], 1.0, 2, parts)
+        clients[cid]._last_b_shares = p["b_shares"]
+        rd2.add(cid, p["masked"], 1.0)
+    replies2 = []
+    for cid in alive:
+        c = clients[cid]
+        replies2.append(c.unmask_reply({
+            "round": 2, "contributors": alive, "dropped": [2],
+            "enc_b": {
+                str(o): clients[o]._last_b_shares[str(cid)]
+                for o in alive if o != cid
+            },
+            "enc_x": {"2": next_xshares[2][str(cid)]},
+        }))
+    rd2.subtract_self_masks(
+        reconstruct_secrets(replies2, "b", alive, t))
+    x2 = reconstruct_secrets(replies2, "x", [2], t)
+    rd2.strip_dropped_with_keys(x2, pubs2_int, 2)
+    np.testing.assert_allclose(
+        rd2.weighted_mean_delta(),
+        sum(deltas2[i] for i in alive) / 3, atol=1e-4)
+    # The crux of the fix: the revealed key is the ROUND-2 key only.
+    assert x2[2] == clients[2]._private
+    assert x2[2] != round1_privates[2]
+
+
+def test_strip_rejects_key_not_matching_directory():
+    """A wrong share makes Shamir reconstruction succeed arithmetically
+    with a garbage key; the server must verify g^x == pub and abort
+    instead of silently corrupting the aggregate."""
+    clients, xshares, t = _handshaken_clients(3)
+    rd = SecAggServerRound(16)
+    good = {c.client_id: c.public for c in clients}
+    acc_before = rd.acc.copy()
+    with pytest.raises(ValueError, match="public key"):
+        rd.strip_dropped_with_keys(
+            {2: clients[2]._private + 1}, good, 1)
+    # Verification happens BEFORE any mask application.
+    np.testing.assert_array_equal(rd.acc, acc_before)
+
+
 def test_shamir_split_combine_roundtrip():
     from multimodal_fl_security_tpu.runtime import shamir
 
@@ -443,6 +539,50 @@ def test_server_rejects_mismatched_secagg_scale():
     st.join(timeout=30)
     sock.close()
     assert "e" in err and "secagg_scale" in str(err["e"])
+
+
+def test_server_rejects_hello_without_scale():
+    """secagg_pub with no secagg_scale must be refused, not defaulted —
+    defaulting would vacuously pass the mismatch guard."""
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+    from multimodal_fl_security_tpu.runtime.transport import send_msg
+
+    port = _free_port()
+    server = FLServer(np.zeros(10, np.float32), num_clients=2, num_rounds=1,
+                      host="127.0.0.1", port=port, secure_aggregation=True)
+    err = {}
+
+    def run():
+        try:
+            server.serve()
+        except RuntimeError as e:
+            err["e"] = e
+
+    st = threading.Thread(target=run)
+    st.start()
+    time.sleep(0.2)
+    sec = SecAggClient(0)
+    sock = sk.create_connection(("127.0.0.1", port), timeout=30)
+    send_msg(sock, {"type": "hello", "client_id": 0,
+                    "secagg_pub": sec.public_key_hex()})
+    st.join(timeout=30)
+    sock.close()
+    assert "e" in err and "secagg_scale" in str(err["e"])
+
+
+def test_below_shamir_threshold_ends_run_gracefully():
+    """Once live clients fall below t, no future round can be unmasked:
+    the round loop must end the run (params kept), not crash the
+    survivors with share-splitting errors."""
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+
+    server = FLServer(np.zeros(8, np.float32), num_clients=5, num_rounds=3,
+                      secure_aggregation=True)
+    server.secagg_threshold = 3
+    out = server._run_round_secagg(2, conns=[object(), object()])
+    assert out is False
+    assert server.history[-1]["aborted"]
+    assert server.history[-1]["abort_reason"] == "below_shamir_threshold"
 
 
 def test_client_rejects_secagg_plus_compression():
