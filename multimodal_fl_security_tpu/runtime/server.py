@@ -339,6 +339,14 @@ class FLServer:
             if c in conns:
                 conns.remove(c)
             try:
+                # Best-effort farewell: a retired-but-alive client (rekey
+                # failure, straggler) exits cleanly on 'done' instead of
+                # crashing on a reset connection. Genuinely dead sockets
+                # just raise into the except.
+                send_msg(c, {"type": "done"})
+            except OSError:
+                pass
+            try:
                 c.close()
             except OSError:
                 pass

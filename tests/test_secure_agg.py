@@ -510,6 +510,97 @@ def test_secagg_dropout_is_unmasked_and_survived():
     assert np.max(np.abs(result["f"] - flat0)) < 50.0
 
 
+@pytest.mark.slow
+def test_below_threshold_run_ends_cleanly_over_tcp():
+    """With t=3 of 3 clients, one death makes every future round
+    un-unmaskable: the aborted round must not crash the survivors, and
+    the server must retire them with 'done' and end the run with the
+    current params — the full graceful path over real sockets."""
+    from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.runtime.client import FLClient
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+    from multimodal_fl_security_tpu.runtime.transport import recv_msg, send_msg
+
+    base = {
+        "dataset": "synthetic",
+        "dataset_params": {"num_train": 256, "num_test": 100},
+        "num_clients": 3, "batch_size": 16, "local_epochs": 1,
+        "learning_rate": 0.05, "partition": "iid",
+        "secure_aggregation": True,
+    }
+    ds = load_dataset("synthetic", "train", **base["dataset_params"])
+    model = create_model("simple_cnn", num_classes=10)
+    template = init_model(model, {k: v[:16] for k, v in ds.arrays.items()},
+                          seed=0)["params"]
+    flat0 = np.asarray(flatten_tree(template), np.float32)
+
+    port = _free_port()
+    server = FLServer(flat0, num_clients=3, num_rounds=3,
+                      host="127.0.0.1", port=port, fit_timeout=120.0,
+                      secure_aggregation=True, secagg_threshold=3)
+    result = {}
+    st = threading.Thread(target=lambda: result.update(f=server.serve()))
+    st.start()
+    time.sleep(0.3)
+
+    client_errors = []
+
+    def run_client(c):
+        try:
+            c.run(port=port)
+        except Exception as e:  # clean exit is part of what we test
+            client_errors.append((c.client_id, e))
+
+    clients = [FLClient(i, base) for i in range(2)]
+    for c in clients:
+        c.fit(flat0, 0)
+    cts = [threading.Thread(target=run_client, args=(c,)) for c in clients]
+    for t in cts:
+        t.start()
+
+    def flaky():
+        sec = SecAggClient(2)
+        sock = sk.create_connection(("127.0.0.1", port), timeout=120)
+        send_msg(sock, {"type": "hello", "client_id": 2,
+                        "secagg_pub": sec.public_key_hex(),
+                        "secagg_scale": sec.scale})
+        while True:
+            msg = recv_msg(sock)
+            if msg.get("type") == "secagg_keys":
+                send_msg(sock, sec.handshake(msg["pubs"], msg["threshold"]))
+            elif msg.get("type") == "unmask":
+                send_msg(sock, sec.unmask_reply(msg))
+            elif msg.get("type") == "fit":
+                if msg["round"] >= 2:
+                    sock.close()
+                    return
+                if msg.get("pubs"):
+                    sec.begin_round(msg["pubs"])
+                delta = np.zeros_like(flat0, dtype=np.float64)
+                reply = {"client_id": 2, "num_examples": 1,
+                         "metrics": {"loss": 0.0}}
+                reply.update(sec.round_payload(delta, 1, msg["round"],
+                                               msg["participants"]))
+                send_msg(sock, reply)
+
+    ft = threading.Thread(target=flaky)
+    ft.start()
+    st.join(timeout=300)
+    ft.join(timeout=60)
+    for t in cts:
+        t.join(timeout=60)
+
+    assert "f" in result, "server did not finish"
+    assert not client_errors, f"survivors crashed: {client_errors}"
+    # Round 1 applied; round 2 aborted (2 < t=3 share replies); round 3
+    # never unmaskable -> run ended.
+    assert [h["aborted"] for h in server.history] == [False, True, True]
+    assert server.history[2]["abort_reason"] == "below_shamir_threshold"
+    assert np.all(np.isfinite(result["f"]))
+
+
 def test_server_rejects_mismatched_secagg_scale():
     """A client encoding at a different fixed-point scale than the server
     decodes at would silently corrupt every aggregate; the server must
