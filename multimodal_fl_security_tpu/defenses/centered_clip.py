@@ -86,8 +86,18 @@ class CenteredClipDefense(BaseDefense):
         return v, {"cclip_center_norm": jnp.linalg.norm(v)}
 
     def detect(self, updates, weights, ctx=None):
-        """Clients clipped in the FINAL iteration are the suspects."""
-        agg, _ = self.aggregate_with_aux(updates, weights, ctx)
+        """Clients clipped in the FINAL iteration are the suspects.
+
+        When the caller threads the live momentum state (the previous
+        round's aggregate) via ``ctx["defense_state"]``, detection is
+        judged against the SAME center the stateful aggregation used;
+        otherwise it falls back to the stateless warm start."""
+        ctx = ctx or {}
+        state = ctx.get("defense_state")
+        if state is not None:
+            agg, _, _ = self.aggregate_stateful(updates, weights, ctx, state)
+        else:
+            agg, _ = self.aggregate_with_aux(updates, weights, ctx)
         norms = jnp.sqrt(
             jnp.maximum(jnp.sum(jnp.square(updates - agg[None, :]), axis=1),
                         0.0)

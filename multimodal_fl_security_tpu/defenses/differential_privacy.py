@@ -69,11 +69,41 @@ class DPSGDDefense(BaseDefense):
         std = self.clip_norm * self.noise_multiplier / n
         key = (ctx or {}).get("key")
         if key is None:
-            key = jax.random.PRNGKey(0)
+            # A fixed fallback key would re-add the IDENTICAL noise vector
+            # every round — deterministic bias, not privacy. Fail loudly.
+            raise ValueError(
+                "dp_sgd requires ctx['key'] (a fresh per-round PRNG key); "
+                "the round engine, TCP server, and fedbuff paths all "
+                "provide one"
+            )
         noise = std * jax.random.normal(key, mean.shape, mean.dtype)
         return mean + noise, {"dp_noise_std": jnp.float32(std)}
 
     # -- accounting (host-side) --------------------------------------------
+    def set_client_weights(self, weights) -> None:
+        """Tighten accounting to the actual weighted-mean sensitivity.
+
+        Noise std is ``clip * z / n`` but the weighted mean's per-client
+        sensitivity is ``clip * w_i / sum_w`` — for the heaviest client
+        that is ``clip * max_w / sum_w``, not ``clip / n``, so with
+        heterogeneous example counts the effective noise multiplier is
+        ``z * sum_w / (n * max_w)`` (== z only when weights are uniform).
+        Callers that know the client example counts (the runner does)
+        should install them BEFORE training so privacy_spent() reports
+        the worst-case-client epsilon instead of underestimating it.
+        """
+        import numpy as np
+
+        w = np.asarray(weights, np.float64)
+        if w.size == 0 or self._accountant is None:
+            return
+        ratio = float(w.sum() / (w.size * w.max()))
+        from multimodal_fl_security_tpu.utils.privacy import RDPAccountant
+
+        fresh = RDPAccountant(self.noise_multiplier * ratio)
+        fresh.step(self._accountant.steps)  # preserve rounds already applied
+        self._accountant = fresh
+
     def account_round(self, n: int = 1) -> None:
         """Record ``n`` applied rounds; called by the training loop."""
         self.rounds_applied += n

@@ -92,7 +92,10 @@ class FLTrustDefense(BaseDefense):
         global_flat = ctx.get("global")
         deltas = updates if global_flat is None else updates - global_flat[None, :]
         trust = self.trust_scores(deltas, ctx["server_grad"])
-        return (trust < self.trust_threshold).astype(jnp.float32)
+        # <= (not <): trust is ReLU-clamped to >= 0, so with the default
+        # threshold 0.0 a strict < could never flag anyone — the classic
+        # FLTrust signal is exactly trust == 0 (non-positive cosine).
+        return (trust <= self.trust_threshold).astype(jnp.float32)
 
     def get_metrics(self):
         return {

@@ -56,6 +56,11 @@ class FoolsGoldDefense(BaseDefense):
         cs = (hist @ hist.T) / (norms[:, None] * norms[None, :])
         off = 1.0 - jnp.eye(c, dtype=cs.dtype)
         cs = cs * off                                   # zero self-similarity
+        # Negative cosine = dissimilar = no collusion signal; clamp to
+        # [0, 1] BEFORE pardoning — otherwise an all-negative-similarity
+        # round makes maxcs negative, the eps-clamped ratio explodes to
+        # ~-maxcs/eps, and every honest client's weight collapses to 0.
+        cs = jnp.clip(cs, 0.0, 1.0)
         maxcs = jnp.max(cs, axis=1)                     # [C]
         # Pardoning (paper alg. 1 lines 9-13).
         ratio = maxcs[:, None] / jnp.maximum(maxcs[None, :], self.eps)

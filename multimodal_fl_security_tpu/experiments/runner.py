@@ -264,6 +264,11 @@ class ExperimentRunner:
         # Privacy accounting (SURVEY.md §2.9-6: the reference's accountant is
         # never consulted by its loop; here the loop steps it every round).
         accounts_privacy = hasattr(defense, "account_round")
+        if hasattr(defense, "set_client_weights"):
+            # Tighten epsilon to the actual weighted-mean sensitivity
+            # (heterogeneous shards make the heaviest client's effective
+            # noise multiplier smaller than the nominal z).
+            defense.set_client_weights(engine.counts)
         for r in range(start_round, config.num_rounds):
             rkey = jax.random.fold_in(round_key, r)
             params, round_metrics = engine.run_round(params, rkey)

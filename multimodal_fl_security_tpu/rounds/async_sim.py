@@ -135,7 +135,8 @@ def simulate_fedbuff(
                                          staleness_exponent)
             deltas = np.stack([b["delta"] for b in buffer])
             global_flat = fedbuff_aggregate(global_flat, deltas, w,
-                                            defense, server_lr)
+                                            defense, server_lr,
+                                            flush_idx=version)
             version += 1
             params = unflatten_tree(params, jax.numpy.asarray(global_flat))
             history.append({

@@ -297,6 +297,7 @@ class RoundEngine:
 
         self._round_fn = jax.jit(self._build_round_fn())
         self._detect_fn = None  # built lazily, once, by detect_malicious
+        self._multi_fn = None   # built lazily, once, by run_rounds
 
     # ------------------------------------------------------------------
     def _make_server_train(self, root_data: Dict[str, np.ndarray]) -> Callable:
@@ -464,41 +465,68 @@ class RoundEngine:
         The per-round host dispatch of :meth:`run_round` disappears; params
         and every intermediate live in HBM for the whole horizon. Metrics
         come back stacked with a leading round axis.
+
+        Privacy accounting: because callers cannot observe the individual
+        rounds, this method steps the defense's host-side accountant by
+        ``num_rounds`` itself — callers must NOT also call
+        ``account_round`` for these rounds (the per-round
+        :meth:`run_round` path leaves accounting to its caller, as the
+        runner does).
         """
         self._ensure_defense_state(params)
-        round_fn = self._build_round_fn()
+        if self._multi_fn is None:
+            # Built ONCE: a fresh jitted closure per call would retrace
+            # and recompile the whole scan-over-rounds program (minutes
+            # at C=100) on every invocation. jit's own cache handles
+            # distinct static n values.
+            round_fn = self._build_round_fn()
 
-        @partial(jax.jit, static_argnames=("n",))
-        def multi(params, key, arrays, mask, counts, malicious, dstate,
-                  sostate, n):
-            def body(carry, r):
-                p, st, so = carry
-                rkey = jax.random.fold_in(key, r)
-                new_p, metrics, new_st, new_so = round_fn(
-                    p, rkey, arrays, mask, counts, malicious, st, so
+            @partial(jax.jit, static_argnames=("n",))
+            def multi(params, key, arrays, mask, counts, malicious, dstate,
+                      sostate, n):
+                def body(carry, r):
+                    p, st, so = carry
+                    rkey = jax.random.fold_in(key, r)
+                    new_p, metrics, new_st, new_so = round_fn(
+                        p, rkey, arrays, mask, counts, malicious, st, so
+                    )
+                    return (new_p, new_st, new_so), metrics
+
+                (p, st, so), metrics = jax.lax.scan(
+                    body, (params, dstate, sostate), jnp.arange(n)
                 )
-                return (new_p, new_st, new_so), metrics
+                return p, metrics, st, so
 
-            (p, st, so), metrics = jax.lax.scan(
-                body, (params, dstate, sostate), jnp.arange(n)
-            )
-            return p, metrics, st, so
+            self._multi_fn = multi
 
-        p, metrics, st, so = multi(params, key, self.arrays, self.mask,
-                                   self.counts, self.malicious_mask,
-                                   self._defense_state,
-                                   self._server_opt_state, n=num_rounds)
+        p, metrics, st, so = self._multi_fn(
+            params, key, self.arrays, self.mask,
+            self.counts, self.malicious_mask,
+            self._defense_state,
+            self._server_opt_state, n=num_rounds)
         if self._defense_stateful:
             self._defense_state = st
         if self.server_opt is not None:
             self._server_opt_state = so
+        if hasattr(self.defense, "account_round"):
+            self.defense.account_round(num_rounds)
         return p, metrics
 
     def detect_malicious(self, params, key):
-        """Host-callable detection pass (reference: base_defense.py:49-64)."""
+        """Host-callable detection pass (reference: base_defense.py:49-64).
+
+        The defense judges the SAME update matrix a round would hand it:
+        the attack's update transform is applied (a model-poisoning
+        attacker poisons its update before the server ever sees it —
+        detection against the benign matrix would be blind to exactly
+        the clients it exists to flag), with the round's key-derivation
+        scheme, and a stateful defense sees its live state via
+        ctx["defense_state"]."""
+        self._ensure_defense_state(params)
         if self._detect_fn is None:
 
-            def _detect(params, key, arrays, mask, counts):
+            def _detect(params, key, arrays, mask, counts, malicious,
+                        dstate):
                 ckeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                     jnp.arange(self.num_clients)
                 )
@@ -506,13 +534,26 @@ class RoundEngine:
                     self._local_train, in_axes=(None, 0, 0, 0)
                 )(params, arrays, mask, ckeys)
                 updates = flatten_stacked(new_stacked)
-                ctx = {"global": flatten_tree(params), "key": key}
+                global_flat = flatten_tree(params)
+                key_attack, key_defense, key_server = jax.random.split(
+                    jax.random.fold_in(key, 0x5EC), 3
+                )
+                updates = self.attack.poison_updates(
+                    key_attack, updates, global_flat, malicious,
+                    self.num_clients,
+                )
+                ctx = {"global": global_flat, "key": key_defense}
                 if self._server_train is not None:
-                    ctx["server_grad"] = self._server_train(params, key)
+                    ctx["server_grad"] = self._server_train(params,
+                                                            key_server)
+                if dstate is not None:
+                    ctx["defense_state"] = dstate
                 return self.defense.detect(updates, counts, ctx)
 
             self._detect_fn = jax.jit(_detect)
 
         return self._detect_fn(
-            params, key, self.arrays, self.mask, self.counts
+            params, key, self.arrays, self.mask, self.counts,
+            self.malicious_mask,
+            self._defense_state if self._defense_stateful else None,
         )

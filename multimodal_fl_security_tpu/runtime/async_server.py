@@ -219,7 +219,8 @@ class AsyncFLServer:
         w, stale = staleness_weights(versions, self.version, n,
                                      self.staleness_exponent)
         self.params = fedbuff_aggregate(self.params, deltas, w,
-                                        self.defense, self.server_lr)
+                                        self.defense, self.server_lr,
+                                        flush_idx=self.version)
         self.version += 1
         mean_loss = float(np.mean(
             [m.get("metrics", {}).get("loss", np.nan) for m in buffer]

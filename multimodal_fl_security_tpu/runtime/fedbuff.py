@@ -38,12 +38,19 @@ def fedbuff_aggregate(
     weights: np.ndarray,
     defense,
     server_lr: float,
+    flush_idx: int = 0,
 ) -> np.ndarray:
     """One buffer flush: params + server_lr * defense(deltas, weights).
 
     Falls back to the plain weighted mean when the defense raises (same
     contract as the sync server, reference: robust_server.py:120-122).
+
+    ``flush_idx`` (the server's version counter) seeds ctx["key"]: a
+    randomized defense (dp_sgd's Gaussian noise, DnC's coordinate draws)
+    must see a FRESH key per flush — a constant fallback key would add
+    the identical noise vector every time, voiding the DP guarantee.
     """
+    import jax
     import jax.numpy as jnp
 
     deltas = np.asarray(deltas, np.float32)
@@ -52,7 +59,9 @@ def fedbuff_aggregate(
         agg = np.asarray(
             defense.aggregate(
                 jnp.asarray(deltas), jnp.asarray(weights),
-                {"global": jnp.zeros((deltas.shape[1],), jnp.float32)},
+                {"global": jnp.zeros((deltas.shape[1],), jnp.float32),
+                 "key": jax.random.fold_in(jax.random.PRNGKey(0xFEDB),
+                                           int(flush_idx))},
             ),
             np.float32,
         )

@@ -157,3 +157,22 @@ def test_robust_defense_composes():
     flat = np.concatenate([np.asarray(x).ravel() for x in
                            jax.tree_util.tree_leaves(res.final_params)])
     assert np.all(np.isfinite(flat))
+
+
+def test_fedbuff_randomized_defense_gets_fresh_key_per_flush():
+    """dp_sgd under FedBuff must draw DIFFERENT noise each buffer flush
+    (a constant fallback key re-added the identical noise vector,
+    voiding the DP guarantee) while staying deterministic per flush."""
+    from multimodal_fl_security_tpu.defenses import get_defense
+    from multimodal_fl_security_tpu.runtime.fedbuff import fedbuff_aggregate
+
+    d = get_defense("dp_sgd", {"clip_norm": 1.0, "noise_multiplier": 1.0})
+    rng = np.random.default_rng(3)
+    params = np.zeros(64, np.float32)
+    deltas = rng.normal(0, 0.1, (4, 64)).astype(np.float32)
+    w = np.ones(4, np.float32)
+    a1 = fedbuff_aggregate(params, deltas, w, d, 1.0, flush_idx=1)
+    a2 = fedbuff_aggregate(params, deltas, w, d, 1.0, flush_idx=2)
+    a1b = fedbuff_aggregate(params, deltas, w, d, 1.0, flush_idx=1)
+    assert not np.allclose(a1, a2)          # fresh noise per flush
+    np.testing.assert_array_equal(a1, a1b)  # deterministic per flush

@@ -138,6 +138,31 @@ def test_foolsgold_downweights_colluders(rng):
     assert (wv[2:] > 0.8).all()
 
 
+def test_foolsgold_survives_all_negative_similarities():
+    """Honest clients whose histories are pairwise ANTI-correlated (all
+    cosines negative) must keep full weight — negative similarity is
+    diversity, not collusion. (Regression: an unclamped negative maxcs
+    in the pardoning ratio exploded to ~-maxcs/eps and zeroed every
+    client's weight.)"""
+    d = get_defense("foolsgold", {})
+    # Three unit vectors at ~120 degrees pairwise in a 2-D subspace.
+    hist = np.zeros((3, 8), np.float32)
+    for i, ang in enumerate((0.0, 2.1, 4.2)):
+        hist[i, 0], hist[i, 1] = np.cos(ang), np.sin(ang)
+    wv = np.asarray(d.weights_from_history(jnp.asarray(hist)))
+    assert (wv > 0.9).all(), wv
+
+
+def test_dnc_requires_fresh_key():
+    """A fixed coordinate draw would inspect the same coordinates every
+    round (an adaptive attacker hides elsewhere) — fail loudly."""
+    import pytest
+
+    d = get_defense("dnc", {"num_malicious": 1})
+    with pytest.raises(ValueError, match="key"):
+        d.aggregate(jnp.ones((4, 32)), jnp.ones((4,)))
+
+
 def test_foolsgold_stateful_in_engine():
     """History accumulates across rounds inside the engine; colluding
     backdoor clients are driven to ~zero aggregation weight."""

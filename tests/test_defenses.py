@@ -237,6 +237,46 @@ def test_fltrust_zero_trust_falls_back_to_server_grad():
     np.testing.assert_allclose(np.asarray(agg), np.ones(8), rtol=1e-6)
 
 
+def test_fltrust_detect_flags_sign_flipper():
+    """Trust is ReLU-clamped to >= 0, so the detector must use <= (a
+    strict < with the default threshold 0.0 could never flag anyone)."""
+    server = jnp.asarray(np.ones((16,), np.float32))
+    honest = np.ones((2, 16), np.float32)
+    flipped = -np.ones((1, 16), np.float32)  # cos = -1 -> trust 0
+    updates = jnp.asarray(np.concatenate([honest, flipped]))
+    d = get_defense("fltrust", {})
+    det = np.asarray(d.detect(updates, jnp.ones((3,)),
+                              {"server_grad": server}))
+    assert det.tolist() == [0.0, 0.0, 1.0]
+
+
+def test_dp_sgd_requires_fresh_key():
+    """A fixed fallback key would re-add the identical noise every round
+    (deterministic bias, not privacy) — missing key must fail loudly."""
+    d = get_defense("dp_sgd", {"noise_multiplier": 0.1})
+    with pytest.raises(ValueError, match="key"):
+        d.aggregate(jnp.ones((3, 8)), jnp.ones((3,)))
+
+
+def test_dp_accounting_tightens_for_heterogeneous_weights():
+    """The weighted mean's worst-client sensitivity is clip*max_w/sum_w,
+    not clip/n: installing heterogeneous client weights must INCREASE
+    the reported epsilon versus the uniform assumption."""
+    uniform = get_defense("dp_sgd", {"noise_multiplier": 1.0})
+    hetero = get_defense("dp_sgd", {"noise_multiplier": 1.0})
+    hetero.set_client_weights(np.array([100.0, 10.0, 10.0, 10.0]))
+    uniform.account_round(5)
+    hetero.account_round(5)
+    assert (hetero.privacy_spent()["epsilon"]
+            > uniform.privacy_spent()["epsilon"])
+    # Uniform weights leave the accounting unchanged.
+    same = get_defense("dp_sgd", {"noise_multiplier": 1.0})
+    same.set_client_weights(np.ones(4))
+    same.account_round(5)
+    assert same.privacy_spent()["epsilon"] == pytest.approx(
+        uniform.privacy_spent()["epsilon"])
+
+
 def test_registry_names_match_reference():
     from multimodal_fl_security_tpu.defenses.base import DEFENSES
 

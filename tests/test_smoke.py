@@ -133,6 +133,40 @@ def test_engine_detect_malicious_flags_attacker():
     assert flags[2] == 1.0
 
 
+def test_engine_detection_sees_model_poisoning():
+    """detect_malicious must judge the POISONED update matrix (the round
+    applies the attack transform before the defense ever sees updates):
+    norm_bounding flags exactly the 100x-boosted client — impossible if
+    detection re-trained benign updates and skipped the transform."""
+    import jax
+    import numpy as np
+
+    from multimodal_fl_security_tpu.attacks import get_attack
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.data.partition import partition_data
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.defenses import get_defense
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    train = load_dataset("synthetic", "train", num_train=320,
+                         image_shape=(16, 16, 1))
+    cd = stack_clients(train, partition_data(train.labels, 5, "iid"),
+                       pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    params = init_model(model, {k: v[0, :16] for k, v in cd.arrays.items()},
+                        seed=0)["params"]
+    eng = RoundEngine(
+        model, cd, TrainSpec(learning_rate=0.05, local_epochs=1,
+                             batch_size=16),
+        attack=get_attack("scaling", {"scale": 100.0}),
+        defense=get_defense("norm_bounding", {"max_norm": 300.0}),
+        malicious_clients=[2],
+    )
+    flags = np.asarray(eng.detect_malicious(params, jax.random.PRNGKey(0)))
+    assert flags.tolist() == [0.0, 0.0, 1.0, 0.0, 0.0]
+
+
 def test_distributed_backdoor_end_to_end():
     """Each colluding client patches its own trigger band; ASR is measured
     against the assembled full trigger."""
