@@ -31,14 +31,9 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from multimodal_fl_security_tpu.attacks.base import ATTACKS, BaseAttack
+from multimodal_fl_security_tpu.attacks.base import ATTACKS, BaseAttack, masked_mean
 
 _BIG = jnp.float32(1e30)
-
-
-def _masked_mean(updates: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    total = jnp.maximum(jnp.sum(mask), 1e-12)
-    return jnp.einsum("c,cd->d", mask, updates) / total
 
 
 class _AGRAgnosticAttack(BaseAttack):
@@ -56,13 +51,13 @@ class _AGRAgnosticAttack(BaseAttack):
         if self.perturbation == "unit":
             return -mean / jnp.maximum(jnp.linalg.norm(mean), 1e-12)
         # "std": coordinate-wise std over benign clients.
-        var = _masked_mean(jnp.square(updates - mean[None, :]), benign_mask)
+        var = masked_mean(jnp.square(updates - mean[None, :]), benign_mask)
         return -jnp.sqrt(jnp.maximum(var, 0.0))
 
     def poison_updates(self, key, updates, global_flat, malicious_mask,
                        num_clients):
         benign = 1.0 - malicious_mask
-        mean = _masked_mean(updates, benign)
+        mean = masked_mean(updates, benign)
         p = self._perturbation(updates, benign, mean)
 
         # Quadratic coefficients of ||(mean - u_j) + gamma p||^2 per client.
@@ -107,7 +102,10 @@ class _AGRAgnosticAttack(BaseAttack):
         )
         gamma = lo
         crafted = mean + gamma * p
-        self._last_gamma = gamma  # observability (host fetch after round)
+        # (No self._last_gamma stash: this body runs under jit, so the
+        # assignment would leak a tracer onto the attack object — the
+        # cached trace makes any later host read raise
+        # UnexpectedTracerError instead of yielding the bisection result.)
         return jnp.where(malicious_mask[:, None] > 0,
                          jnp.broadcast_to(crafted[None, :], updates.shape),
                          updates)

@@ -28,12 +28,7 @@ from typing import Any, Dict, Optional
 import jax.numpy as jnp
 from jax.scipy.stats import norm
 
-from multimodal_fl_security_tpu.attacks.base import ATTACKS, BaseAttack
-
-
-def _masked_mean(updates: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    total = jnp.maximum(jnp.sum(mask), 1e-12)
-    return jnp.einsum("c,cd->d", mask, updates) / total
+from multimodal_fl_security_tpu.attacks.base import ATTACKS, BaseAttack, masked_mean
 
 
 def alie_z(num_clients: int, num_malicious: int) -> float:
@@ -57,8 +52,8 @@ class ALIEAttack(BaseAttack):
     def poison_updates(self, key, updates, global_flat, malicious_mask,
                        num_clients):
         benign = 1.0 - malicious_mask
-        mean = _masked_mean(updates, benign)
-        var = _masked_mean(jnp.square(updates - mean[None, :]), benign)
+        mean = masked_mean(updates, benign)
+        var = masked_mean(jnp.square(updates - mean[None, :]), benign)
         std = jnp.sqrt(jnp.maximum(var, 0.0))
         z = (float(self.z) if self.z is not None
              else alie_z(num_clients, self.num_malicious))

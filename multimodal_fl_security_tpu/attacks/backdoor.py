@@ -155,16 +155,19 @@ class DistributedBackdoorAttack(BackdoorAttack):
         self.num_parts = int(self.config.get("num_parts", 2))
         self.part_id = int(self.config.get("part_id", 0))
         self.full_trigger = self.trigger
-        self.trigger = self._partial_trigger()
-
-    def _partial_trigger(self) -> np.ndarray:
+        self.full_position = self.position
+        # Even row-band split: part p owns rows [p*S//P, (p+1)*S//P) —
+        # the old S//P floor gave every part but the last an EMPTY band
+        # whenever num_parts > trigger_size. The partial trigger is ONLY
+        # the band's rows, applied at a band-shifted position: patching
+        # the full patch region with a zero-padded trigger would stamp a
+        # black square even for a part whose band carries nothing.
         size = self.trigger_size
-        part = size // self.num_parts
-        start = self.part_id * part
-        end = start + part if self.part_id < self.num_parts - 1 else size
-        partial = np.zeros_like(self.full_trigger)
-        partial[start:end, :] = self.full_trigger[start:end, :]
-        return partial
+        start = (self.part_id * size) // self.num_parts
+        end = ((self.part_id + 1) * size) // self.num_parts
+        self._band = (start, end)
+        self.trigger = self.full_trigger[start:end, :]
+        self.position = (self.position[0] + start, self.position[1])
 
     def for_part(self, part_id: int) -> "DistributedBackdoorAttack":
         cfg = dict(self.config)
@@ -178,7 +181,7 @@ class DistributedBackdoorAttack(BackdoorAttack):
         sub = testset.subset(keep)
         arrays = dict(sub.arrays)
         arrays["image"] = apply_trigger(
-            arrays["image"], self.full_trigger, self.position
+            arrays["image"], self.full_trigger, self.full_position
         )
         return Dataset(arrays, testset.num_classes, testset.name + "_triggered",
                        {**sub.meta, "asr_target": self.target_class})

@@ -75,6 +75,15 @@ class NoAttack(BaseAttack):
     name = "none"
 
 
+def masked_mean(updates: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean over rows where mask==1 (returns zeros if mask is empty).
+
+    Shared by every update-space attack that estimates benign statistics
+    (model_poisoning, alie, agr_agnostic)."""
+    total = jnp.maximum(jnp.sum(mask), 1e-12)
+    return jnp.einsum("c,cd->d", mask, updates) / total
+
+
 def choose_poison_indices(num_candidates: int, poison_ratio: float,
                           seed: int) -> np.ndarray:
     """Seeded exact-count selection, matching the reference's

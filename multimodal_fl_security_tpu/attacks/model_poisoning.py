@@ -24,13 +24,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from multimodal_fl_security_tpu.attacks.base import ATTACKS, BaseAttack
-
-
-def _masked_mean(updates: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Mean over rows where mask==1 (returns zeros if mask is empty)."""
-    total = jnp.maximum(jnp.sum(mask), 1e-12)
-    return jnp.einsum("c,cd->d", mask, updates) / total
+from multimodal_fl_security_tpu.attacks.base import ATTACKS, BaseAttack, masked_mean
 
 
 @ATTACKS.register("model_replacement")
@@ -75,7 +69,7 @@ class AdaptiveKrumAttack(BaseAttack):
     def poison_updates(self, key, updates, global_flat, malicious_mask,
                        num_clients):
         benign_mask = 1.0 - malicious_mask
-        center = _masked_mean(updates, benign_mask)
+        center = masked_mean(updates, benign_mask)
         noise = self.perturbation_scale * jax.random.normal(
             key, updates.shape, updates.dtype
         )
@@ -129,7 +123,7 @@ class InnerProductManipulationAttack(BaseAttack):
                        num_clients):
         if self.use_benign_mean:
             benign_mask = 1.0 - malicious_mask
-            benign_mean = _masked_mean(updates, benign_mask)
+            benign_mean = masked_mean(updates, benign_mask)
             crafted = -self.epsilon * jnp.sign(benign_mean)
             crafted = jnp.broadcast_to(crafted[None, :], updates.shape)
         else:

@@ -227,7 +227,12 @@ def _sklearn_digits(split: str = "train", data_dir=None, seed: int = 0,
     order = rng.permutation(len(y))
     cut = int(0.8 * len(y))
     idx = order[:cut] if split == "train" else order[cut:]
-    mean, std = float(x.mean()), float(x.std() + 1e-8)
+    # Normalization statistics from the TRAIN split only (computing them
+    # over the full set would leak held-out statistics into training-time
+    # preprocessing); both splits are standardized with the same values,
+    # matching the fixed-constant convention of the mnist/cifar loaders.
+    train_x = x[order[:cut]]
+    mean, std = float(train_x.mean()), float(train_x.std() + 1e-8)
     x = (x - mean) / std
     return Dataset({"image": x[idx], "label": y[idx]}, 10, name="digits",
                    meta={"normalized": True})

@@ -43,6 +43,12 @@ def cmd_run(args) -> int:
             cfg.malicious_clients = list(
                 range(max(1, int(cfg.num_clients * 0.2)))
             )
+        # The defense must assume the REAL attacker count (same contract
+        # as matrix.py) — leaving the dataclass default of 1 would
+        # silently mis-parameterize krum/trimmed-mean against colluders.
+        cfg.num_malicious_assumed = max(
+            cfg.num_malicious_assumed, len(cfg.malicious_clients)
+        )
     if args.defense_type and args.defense_type != "none":
         cfg.defense_enabled = True
     runner = ExperimentRunner(args.results_dir)
@@ -61,6 +67,22 @@ def cmd_matrix(args) -> int:
     )
 
     if args.quick:
+        # --quick is a fixed preset; refusing contradictory flags beats
+        # silently running a different experiment than the user asked for.
+        overridden = [
+            flag for flag, default in (
+                ("--attacks", "none,label_flip,backdoor"),
+                ("--defenses", "none,krum,trimmed_mean,median"),
+                ("--seeds", "42,123,456"),
+            ) if getattr(args, flag[2:].replace("-", "_")) != default
+        ]
+        if args.num_rounds != 5:
+            overridden.append("--num-rounds")
+        if overridden:
+            raise SystemExit(
+                f"--quick is a fixed preset and ignores {overridden}; "
+                "drop --quick to run a custom grid"
+            )
         matrix = ExperimentMatrix(
             datasets=[args.dataset],
             attacks=["none", "label_flip", "backdoor"],

@@ -81,7 +81,6 @@ def run_paper_experiments(preset: str = "quick",
 
     rows: List[Dict[str, Any]] = []
     for cell in sorted(cells, key=lambda c: c["cell"]):
-        parts = cell["cell"].split("_")
         rows.append({
             "cell": cell["cell"],
             "seeds": cell["num_seeds"],

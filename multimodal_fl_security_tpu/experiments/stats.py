@@ -9,8 +9,6 @@ analyzer emitting a markdown report (:146-228).
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -94,15 +92,9 @@ def analyze_results_dir(results_dir: str,
                         report_path: Optional[str] = None) -> Dict[str, Any]:
     """Load all result JSONs, group into cells, CI everything, emit a
     markdown report (reference: statistical_tests.py:146-228)."""
-    records: List[Dict] = []
-    for path in sorted(glob.glob(os.path.join(results_dir, "*.json"))):
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            continue
-        if isinstance(data, dict) and "final_accuracy" in data:
-            records.append(data)
+    from multimodal_fl_security_tpu.experiments.visualize import load_results
+
+    records: List[Dict] = load_results(results_dir)
 
     cells: Dict[str, List[Dict]] = {}
     for r in records:

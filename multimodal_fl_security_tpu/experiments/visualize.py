@@ -64,7 +64,10 @@ def plot_attack_defense_heatmap(results: List[Dict[str, Any]],
     plt = _plt()
     attacks = sorted({r["config"].get("attack_type", "none") for r in results})
     defenses = sorted({r["config"].get("defense_type", "none") for r in results})
-    grid = np.full((len(attacks), len(defenses)), np.nan)
+    # Accumulate every run per cell FIRST, then mean once — an iterative
+    # pairwise mean would weight later files exponentially more (3 seeds
+    # 0.2/0.4/0.9 -> 0.6 instead of the true 0.5).
+    cells: Dict[tuple, list] = {}
     for r in results:
         if metric == "attack_success_rate" and r.get(metric) is None:
             continue
@@ -72,8 +75,10 @@ def plot_attack_defense_heatmap(results: List[Dict[str, Any]],
         j = defenses.index(r["config"].get("defense_type", "none"))
         v = r.get(metric)
         if v is not None:
-            grid[i, j] = np.nanmean([grid[i, j], v]) if not np.isnan(
-                grid[i, j]) else v
+            cells.setdefault((i, j), []).append(float(v))
+    grid = np.full((len(attacks), len(defenses)), np.nan)
+    for (i, j), vals in cells.items():
+        grid[i, j] = float(np.mean(vals))
     fig, ax = plt.subplots(figsize=(1.2 * len(defenses) + 2,
                                     0.8 * len(attacks) + 2))
     im = ax.imshow(grid, cmap="viridis", aspect="auto")

@@ -97,14 +97,27 @@ def load_pretrained(
     return params, info
 
 
-def backbone_prefixes(params: Any, head_prefixes: Tuple[str, ...] = ("Dense",)
+def backbone_prefixes(params: Any,
+                      head_prefixes: Tuple[str, ...] = None
                       ) -> Tuple[str, ...]:
     """Top-level subtrees that constitute the backbone: everything except
     the classifier head. Matches the reference's freeze loop, which skips
     only ``fc.*`` (reference: cub200_cnn.py:40-44). Flax auto-names the
-    classifier ``Dense_N`` at the top level for every model in this zoo.
+    classifier ``Dense_N`` at the top level for every model in this zoo;
+    by default ONLY the highest-numbered Dense is the head — earlier
+    top-level Dense layers (e.g. a fusion/hidden layer) are backbone and
+    must freeze with it, exactly like the reference's all-but-final-fc
+    loop. Pass ``head_prefixes`` explicitly to override.
     """
+    keys = list(params)
+    if head_prefixes is None:
+        dense = sorted(
+            (k for k in keys
+             if k.startswith("Dense_") and k.split("_")[-1].isdigit()),
+            key=lambda k: int(k.split("_")[-1]),
+        )
+        head_prefixes = (dense[-1],) if dense else ("Dense",)
     return tuple(
-        k for k in params
+        k for k in keys
         if not any(k.startswith(p) for p in head_prefixes)
     )

@@ -118,8 +118,30 @@ def test_distributed_backdoor_parts_assemble():
     cfg = {"trigger_size": 4, "num_parts": 2, "trigger_type": "square"}
     a0 = get_attack("distributed_backdoor", {**cfg, "part_id": 0})
     a1 = get_attack("distributed_backdoor", {**cfg, "part_id": 1})
-    np.testing.assert_array_equal(a0.trigger + a1.trigger, full)
-    assert a0.trigger[2:].sum() == 0  # part 0 = top band
+    # Each part carries ONLY its band (at a band-shifted position), so
+    # stacking the bands reassembles the full trigger.
+    np.testing.assert_array_equal(np.vstack([a0.trigger, a1.trigger]), full)
+    assert a0.trigger.shape == (2, 4)  # part 0 = top band
+    assert a1.position[0] == a0.position[0] + 2
+
+
+def test_distributed_backdoor_overpartition_patches_only_own_band():
+    """num_parts > trigger rows: a part with an EMPTY band must patch
+    NOTHING (the old zero-padded partial stamped a full black square),
+    and the non-empty bands still cover the whole trigger."""
+    from multimodal_fl_security_tpu.attacks.backdoor import apply_trigger
+
+    cfg = {"trigger_size": 3, "num_parts": 4, "trigger_type": "square",
+           "poison_ratio": 1.0, "target_class": 0}
+    parts = [get_attack("distributed_backdoor", {**cfg, "part_id": p})
+             for p in range(4)]
+    rows = sorted((a.position[0], a.trigger.shape[0]) for a in parts)
+    assert sum(h for _, h in rows) == 3  # bands tile the 3 trigger rows
+    empty = [a for a in parts if a.trigger.shape[0] == 0]
+    assert empty, "over-partitioning must yield an empty band"
+    img = np.full((2, 28, 28, 1), 0.5, np.float32)
+    out = apply_trigger(img, empty[0].trigger, empty[0].position)
+    np.testing.assert_array_equal(out, img)  # empty band patches nothing
 
 
 # --------------------------------------------------------- model poisoning ---
