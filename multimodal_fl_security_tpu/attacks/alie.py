@@ -26,7 +26,10 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
-from jax.scipy.stats import norm
+# Host scipy, NOT jax.scipy: alie_z is pure Python-float math evaluated at
+# trace time, and a jnp ppf becomes an abstract tracer under shard_map's
+# manual-mesh tracing (where nothing evaluates eagerly), breaking float().
+from scipy.stats import norm
 
 from multimodal_fl_security_tpu.attacks.base import ATTACKS, BaseAttack, masked_mean
 

@@ -94,19 +94,21 @@ def psum_row_norms(upd_local: jnp.ndarray, axes: Axes,
 
 
 def _coordinate_median_local(upd_local: jnp.ndarray) -> jnp.ndarray:
-    """Lower-middle median over the (complete) client axis — fully local."""
-    c = upd_local.shape[0]
-    srt = jnp.sort(upd_local, axis=0)
-    return srt[(c - 1) // 2]
+    """Lower-middle median over the (complete) client axis — fully local.
+
+    Delegates to the shared reduction (ops/reductions.py) so the sharded
+    and unsharded paths can never drift in tie convention or trim math;
+    its Pallas dispatch threshold applies to the LOCAL D/p width, which
+    is the right scale here."""
+    from multimodal_fl_security_tpu.ops.reductions import coordinate_median
+
+    return coordinate_median(upd_local)
 
 
 def _trimmed_mean_local(upd_local: jnp.ndarray, trim_ratio: float) -> jnp.ndarray:
-    c = upd_local.shape[0]
-    t = max(1, int(c * trim_ratio))
-    if 2 * t >= c:
-        return _coordinate_median_local(upd_local)
-    srt = jnp.sort(upd_local, axis=0)
-    return jnp.mean(srt[t : c - t], axis=0)
+    from multimodal_fl_security_tpu.ops.reductions import trimmed_mean
+
+    return trimmed_mean(upd_local, trim_ratio)
 
 
 def _geometric_median_psum(

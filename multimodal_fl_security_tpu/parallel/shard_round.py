@@ -71,6 +71,13 @@ def make_sharded_round(
     assert num_clients % n_shards == 0, (num_clients, n_shards)
     needs_matrix = defense.name not in ("fedavg", "none")
     use_dshard = param_sharded and supports_dshard(defense)
+    if getattr(defense, "stateful", False):
+        raise ValueError(
+            f"defense {defense.name!r} carries cross-round state, which "
+            "this explicit sharded round does not thread (its history "
+            "would silently reset every round); use RoundEngine(mesh=...) "
+            "for stateful defenses"
+        )
 
     def shard_body(params, key, arrays, mask, counts, malicious):
         # Per-shard client training: vmap over the local C/p clients.
@@ -88,10 +95,31 @@ def make_sharded_round(
         updates = flatten_stacked(new_stacked)  # [C/p, D]
         global_flat = flatten_tree(params)
 
+        # SAME key derivation as rounds/engine.py: randomized attacks and
+        # defenses (gaussian/ALIE noise, DnC coordinate draws) then make
+        # identical draws on both paths, so the engine-vs-sharded
+        # equivalence tests hold beyond deterministic rules.
+        akey, dkey, _ = jax.random.split(jax.random.fold_in(key, 0x5EC), 3)
+
         if attack is not None:
-            akey = jax.random.fold_in(key, 0xA77)
-            updates = attack.poison_updates(
-                akey, updates, global_flat, malicious, num_clients
+            # Apply the attack to the FULL [C, D] matrix, exactly like the
+            # engine path (rounds/engine.py): statistics-based attacks
+            # (ALIE, Min-Max/Min-Sum, IPM, adaptive-krum) compute benign
+            # mean/std/pairwise thresholds over ALL clients, and colluders
+            # must emit one shared crafted vector — per-shard application
+            # would craft from each shard's local (possibly empty) benign
+            # sample and draw shard-uncorrelated randomness. The gather is
+            # replicated-deterministic (same key everywhere), so every
+            # shard computes the identical poisoned matrix and slices its
+            # own rows back. Costs one extra [C, D] gather in attack
+            # rounds; robust-rule rounds gather that matrix anyway.
+            all_updates = jax.lax.all_gather(updates, axes, tiled=True)
+            all_mal = jax.lax.all_gather(malicious, axes, tiled=True)
+            poisoned = attack.poison_updates(
+                akey, all_updates, global_flat, all_mal, num_clients
+            )
+            updates = jax.lax.dynamic_slice_in_dim(
+                poisoned, shard_idx * local_c, local_c, 0
             )
 
         if not needs_matrix:
@@ -121,8 +149,7 @@ def make_sharded_round(
             # Robust rules need the full [C, D] matrix: all_gather rows.
             all_updates = jax.lax.all_gather(updates, axes, tiled=True)
             all_counts = jax.lax.all_gather(counts, axes, tiled=True)
-            ctx = {"global": global_flat,
-                   "key": jax.random.fold_in(key, 0xDEF)}
+            ctx = {"global": global_flat, "key": dkey}
             agg, _ = defense.aggregate_with_aux(
                 all_updates, all_counts.astype(jnp.float32), ctx
             )

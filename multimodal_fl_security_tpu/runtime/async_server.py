@@ -76,6 +76,7 @@ class AsyncFLServer:
         self.defense = get_defense(defense_type, defense_config or {})
         self.host, self.port = host, int(port)
         self.version = 0
+        self._tasks_sent = 0
         self.history: List[Dict[str, Any]] = []
 
     # ------------------------------------------------------------------
@@ -110,6 +111,15 @@ class AsyncFLServer:
                     conn.close()  # launcher liveness probe
                     continue
                 cid = int(hello.get("client_id", len(conns)))
+                if cid in conns:
+                    # A duplicate id (stale client from a previous run on
+                    # this port) would silently replace the live socket and
+                    # stall the accept loop short of num_clients forever.
+                    logger.warning(
+                        "async client id %d already connected; rejecting "
+                        "duplicate from %s", cid, addr)
+                    conn.close()
+                    continue
                 conns[cid] = conn
                 send_locks[cid] = threading.Lock()
                 logger.info("async client %d connected from %s", cid, addr)
@@ -198,7 +208,14 @@ class AsyncFLServer:
     # ------------------------------------------------------------------
     def _send_task(self, conn: socket.socket, lock: threading.Lock) -> None:
         with lock:
+            # ``task`` is a unique per-task nonce: the client folds it into
+            # its training PRNG key, so two consecutive tasks at the SAME
+            # global version still train with different batch order/dropout
+            # (keying on version alone made a fast client resend
+            # byte-identical deltas until the next flush).
+            self._tasks_sent += 1
             send_msg(conn, {"type": "fit_async", "version": self.version,
+                            "task": self._tasks_sent,
                             "params": self.params})
 
     def _aggregate(self, buffer: List[Dict[str, Any]]) -> None:

@@ -198,7 +198,12 @@ class FLClient:
                     # reply with the DELTA plus the global version it was
                     # computed against, so the server can staleness-weight.
                     version = int(msg.get("version", 0))
-                    flat, n, metrics = self.fit(msg["params"], version)
+                    # Per-task nonce (falls back to version): distinct
+                    # tasks at the same global version must not reuse the
+                    # training key, or a fast client resends identical
+                    # deltas until the next flush.
+                    nonce = int(msg.get("task", version))
+                    flat, n, metrics = self.fit(msg["params"], nonce)
                     send_msg(sock, {
                         "type": "update",
                         "client_id": self.client_id,

@@ -18,9 +18,27 @@ than float32 (the transport frames raw bytes, transport.py).
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _finite_or_reset(delta: np.ndarray, owner) -> np.ndarray:
+    """Guard the error-feedback loop against a diverged local step: a
+    single NaN/Inf delta would otherwise be stored as the residual and
+    contaminate EVERY later round (the client silently uploads zeros
+    forever). Drop the poisoned delta and reset the residual instead."""
+    if np.all(np.isfinite(delta)):
+        return delta
+    logger.warning(
+        "%s: non-finite delta; dropping it and resetting the "
+        "error-feedback residual", type(owner).__name__,
+    )
+    owner._residual = None
+    return np.zeros_like(delta)
 
 
 def quantize_delta(delta: np.ndarray) -> Tuple[np.ndarray, float]:
@@ -49,6 +67,7 @@ class Int8UplinkCompressor:
         delta = update.astype(np.float32) - np.asarray(global_flat, np.float32)
         if self._residual is not None:
             delta = delta + self._residual
+        delta = _finite_or_reset(delta, self)
         q, scale = quantize_delta(delta)
         self._residual = delta - dequantize_delta(q, scale)
         return {"q_delta": q, "q_scale": scale, "compression": self.name}
@@ -77,6 +96,7 @@ class TopKUplinkCompressor:
         delta = update.astype(np.float32) - np.asarray(global_flat, np.float32)
         if self._residual is not None:
             delta = delta + self._residual
+        delta = _finite_or_reset(delta, self)
         d = delta.shape[0]
         k = max(1, int(round(self.ratio * d)))
         idx = np.argpartition(np.abs(delta), d - k)[d - k:]

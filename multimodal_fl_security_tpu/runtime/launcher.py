@@ -47,6 +47,23 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
     params = init_model(model, sample, seed=0)["params"]
     flat = np.asarray(flatten_tree(params), np.float32)
 
+    # The canonical merged defense hyperparameters: the YAML loader maps
+    # defense.num_malicious/trim_ratio into TOP-LEVEL ExperimentConfig
+    # fields, so passing only config['defense_params'] to the server would
+    # silently run krum with the default f=1 (etc.). Rebuild through the
+    # dataclass so the distributed path and the simulation path
+    # parameterize defenses identically.
+    import dataclasses as _dc
+
+    from multimodal_fl_security_tpu.experiments.config import (
+        ExperimentConfig,
+    )
+
+    _fields = {f.name for f in _dc.fields(ExperimentConfig)}
+    defense_cfg = ExperimentConfig(
+        **{k: v for k, v in config.items() if k in _fields}
+    ).defense_config()
+
     if config.get("aggregation_mode", "sync") == "async":
         # Buffered asynchronous aggregation (runtime/async_server.py).
         from multimodal_fl_security_tpu.runtime.async_server import (
@@ -62,7 +79,7 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
             server_lr=float(config.get("server_lr", 1.0)),
             staleness_exponent=float(config.get("staleness_exponent", 0.5)),
             defense_type=config.get("defense_type", "none"),
-            defense_config=config.get("defense_params", {}),
+            defense_config=defense_cfg,
             port=port,
         )
     else:
@@ -71,7 +88,7 @@ def _server_main(config: Dict[str, Any], port: int) -> None:
             num_clients=int(config["num_clients"]),
             num_rounds=int(config.get("num_rounds", 3)),
             defense_type=config.get("defense_type", "none"),
-            defense_config=config.get("defense_params", {}),
+            defense_config=defense_cfg,
             port=port,
             fit_timeout=float(config.get("fit_timeout", 600.0)),
             secure_aggregation=bool(config.get("secure_aggregation", False)),
@@ -231,9 +248,11 @@ def main(argv=None) -> int:
     if args.config_json:
         config = json.loads(args.config_json)
     elif args.config:
-        from multimodal_fl_security_tpu.utils.yaml_config import load_config
+        from multimodal_fl_security_tpu.utils.yaml_config import (
+            load_config_dict,
+        )
 
-        config = load_config(args.config).to_dict()
+        config = load_config_dict(args.config)
     else:
         ap.error("--config or --config-json required")
 

@@ -28,12 +28,21 @@ from multimodal_fl_security_tpu.data.datasets import Dataset
 from multimodal_fl_security_tpu.data.stacking import batch_dataset
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def make_eval_fn(model, eval_batch_size: int = 512) -> Callable:
     """Build a jitted evaluator: (params, batched_arrays) -> stats dict.
 
     ``batched_arrays`` is the output of :func:`reshape_eval_batches`: every
     modality shaped [num_batches, B, ...] plus "mask" [num_batches, B].
     Returns per-sample sums so callers can derive accuracy/loss/ASR.
+
+    Memoized on (model, batch size) — flax modules hash by structure —
+    so the per-call helpers below (evaluate_model, ASR, confusion) reuse
+    ONE jitted program instead of retracing the identical scan every
+    invocation (a full XLA compile per call on a cold cache).
     """
 
     @jax.jit
@@ -96,22 +105,14 @@ def compute_attack_success_rate(model, params, triggered_dataset: Dataset,
     (attacks/backdoor.py create_poisoned_testset enforces this).
     """
     batches = reshape_eval_batches(triggered_dataset, batch_size)
-
-    @jax.jit
-    def asr_fn(params, batches):
-        def body(carry, batch):
-            logits = model.apply({"params": params}, batch, train=False)
-            preds = jnp.argmax(logits, axis=-1)
-            hit = jnp.sum((preds == target_class) * batch["mask"])
-            return (carry[0] + hit, carry[1] + jnp.sum(batch["mask"])), None
-
-        (hits, count), _ = jax.lax.scan(
-            body, (jnp.float32(0), jnp.float32(0)), batches
-        )
-        return hits, count
-
-    hits, count = asr_fn(params, batches)
-    return float(hits) / max(float(count), 1.0)
+    # Reuse the memoized evaluator (its second output is the predictions)
+    # instead of compiling a bespoke ASR scan per call.
+    _, preds = make_eval_fn(model, batch_size)(params, batches)
+    mask = np.asarray(batches["mask"]).reshape(-1) > 0
+    preds = np.asarray(preds).reshape(-1)[mask]
+    if preds.size == 0:
+        return 0.0
+    return float((preds == target_class).mean())
 
 
 def compute_label_flip_asr(model, params, clean_testset: Dataset,

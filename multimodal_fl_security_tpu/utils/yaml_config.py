@@ -11,11 +11,14 @@ ExperimentConfig.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Dict
 
 import yaml
 
 from multimodal_fl_security_tpu.experiments.config import ExperimentConfig
+
+logger = logging.getLogger(__name__)
 
 _FIELD_NAMES = {f.name for f in dataclasses.fields(ExperimentConfig)}
 
@@ -55,10 +58,30 @@ _NESTED_MAP = {
 _SECTIONS = {k for k, _ in _NESTED_MAP} | {"logging", "evaluation"}
 
 
-def config_from_dict(data: Dict[str, Any]) -> ExperimentConfig:
+def config_from_dict(data: Dict[str, Any],
+                     extras: Dict[str, Any] = None) -> ExperimentConfig:
+    """Dict (nested reference layout or flat field names) -> config.
+
+    Keys that map to no ExperimentConfig field are collected into
+    ``extras`` when a dict is passed (the distributed launcher's
+    runtime-only keys: aggregation_mode, buffer_size, fit_timeout,
+    compression, secagg_*, ...); with ``extras=None`` they are dropped
+    with a WARNING — a typo'd key silently vanishing means the
+    experiment runs with defaults while the results get attributed to
+    the intended hyperparameters.
+    """
     flat: Dict[str, Any] = {}
     extra_attack: Dict[str, Any] = {}
     extra_defense: Dict[str, Any] = {}
+
+    def unknown(name: str, value: Any) -> None:
+        if extras is not None:
+            extras[name] = value
+        else:
+            logger.warning(
+                "config key %r is not recognized and has NO effect", name,
+            )
+
     for key, value in data.items():
         # Section check FIRST: "model"/"attack"/"defense" are both nested
         # section names and flat field names — a dict value means section.
@@ -71,9 +94,14 @@ def config_from_dict(data: Dict[str, Any]) -> ExperimentConfig:
                     extra_attack[sub] = v
                 elif key == "defense":
                     extra_defense[sub] = v
-                # other unmapped sections (logging/evaluation) are advisory
+                elif key not in ("logging", "evaluation"):
+                    unknown(sub, v)
         elif key in _FIELD_NAMES:
             flat[key] = value
+        elif isinstance(value, dict) and key in ("logging", "evaluation"):
+            pass  # advisory sections
+        else:
+            unknown(key, value)
     if extra_attack:
         flat.setdefault("attack_params", {}).update(extra_attack)
     if extra_defense:
@@ -85,6 +113,21 @@ def load_config(path: str) -> ExperimentConfig:
     with open(path) as f:
         data = yaml.safe_load(f) or {}
     return config_from_dict(data)
+
+
+def load_config_dict(path: str) -> Dict[str, Any]:
+    """Launcher-facing loader: the canonical ExperimentConfig fields PLUS
+    every runtime-only key preserved verbatim (top-level or inside a
+    section). ``load_config(...).to_dict()`` alone would drop keys like
+    ``aggregation_mode``/``buffer_size``/``fit_timeout``/``compression``
+    that the distributed runtime reads from the raw dict."""
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    extras: Dict[str, Any] = {}
+    cfg = config_from_dict(data, extras=extras).to_dict()
+    for k, v in extras.items():
+        cfg.setdefault(k, v)
+    return cfg
 
 
 def save_config(config: ExperimentConfig, path: str) -> None:

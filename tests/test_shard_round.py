@@ -131,11 +131,14 @@ def test_param_sharded_two_level_mesh(setup):
 
 
 def test_param_sharded_fallback_for_unsupported_rule(setup):
-    """A rule with no D-sharded formulation (foolsgold) silently uses the
-    row-replicated all_gather path and still matches the engine."""
+    """A stateless rule with no D-sharded formulation (dnc) silently uses
+    the row-replicated all_gather path and still matches the engine (the
+    defense-key derivation is shared, so even its random coordinate
+    draws agree)."""
     train, cd, model, params, spec, lt = setup
     mesh = make_mesh(8)
-    round_fn = make_sharded_round(lt, get_defense("foolsgold", {}), mesh,
+    cfg = {"num_malicious": 1, "sub_dim": 512}
+    round_fn = make_sharded_round(lt, get_defense("dnc", cfg), mesh,
                                   num_clients=8, param_sharded=True)
     arrays = {k: jnp.asarray(v) for k, v in cd.arrays.items()}
     mask = jnp.asarray(cd.mask)
@@ -144,12 +147,23 @@ def test_param_sharded_fallback_for_unsupported_rule(setup):
     key = jax.random.PRNGKey(0)
     new_sharded, _ = round_fn(params, key, arrays, mask, counts, malicious)
 
-    engine = RoundEngine(model, cd, spec, defense=get_defense("foolsgold", {}))
+    engine = RoundEngine(model, cd, spec, defense=get_defense("dnc", cfg))
     new_engine, _ = engine.run_round(params, key)
     np.testing.assert_allclose(
         np.asarray(flatten_tree(new_sharded)),
         np.asarray(flatten_tree(new_engine)), rtol=2e-4, atol=2e-5,
     )
+
+
+def test_stateful_defense_rejected(setup):
+    """The explicit sharded round does not thread defense state; it must
+    refuse stateful defenses instead of silently resetting their history
+    every round (use RoundEngine(mesh=...) for those)."""
+    train, cd, model, params, spec, lt = setup
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="state"):
+        make_sharded_round(lt, get_defense("foolsgold", {}), mesh,
+                           num_clients=8)
 
 
 def test_two_level_mesh_dcn_by_ici(setup):
@@ -201,6 +215,39 @@ def test_sharded_round_with_attack_matches_engine(setup):
                          defense=get_defense("trimmed_mean",
                                              {"trim_ratio": 0.2}),
                          malicious_clients=[0])
+    new_engine, _ = engine.run_round(params, key)
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(new_sharded)),
+        np.asarray(flatten_tree(new_engine)), rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_statistics_attack_matches_engine(setup):
+    """ALIE crafts from the benign mean/std over ALL clients and all
+    colluders emit one shared vector: the sharded round must apply the
+    attack to the GATHERED matrix (per-shard application would craft
+    from each shard's 1-client 'benign sample' — a different attack)."""
+    from multimodal_fl_security_tpu.attacks import get_attack
+
+    train, cd, model, params, spec, lt = setup
+    mesh = make_mesh(8)
+    attack = get_attack("alie", {"num_malicious": 2})
+    defense = get_defense("krum", {"num_malicious": 2, "multi_k": 1})
+    round_fn = make_sharded_round(lt, defense, mesh, num_clients=8,
+                                  attack=attack)
+
+    arrays = {k: jnp.asarray(v) for k, v in cd.arrays.items()}
+    mask = jnp.asarray(cd.mask)
+    counts = jnp.asarray(cd.counts.astype(np.float32))
+    malicious = jnp.zeros((8,), jnp.float32).at[0].set(1.0).at[3].set(1.0)
+    key = jax.random.PRNGKey(7)
+    new_sharded, _ = round_fn(params, key, arrays, mask, counts, malicious)
+
+    engine = RoundEngine(
+        model, cd, spec, attack=get_attack("alie", {"num_malicious": 2}),
+        defense=get_defense("krum", {"num_malicious": 2, "multi_k": 1}),
+        malicious_clients=[0, 3],
+    )
     new_engine, _ = engine.run_round(params, key)
     np.testing.assert_allclose(
         np.asarray(flatten_tree(new_sharded)),
