@@ -12,15 +12,27 @@ matrix, as one jitted round program on a TPU.
 Prints one JSON line:
   {"metric": "fl_rounds_per_min_100c_krum", "value": R, "unit": "rounds/min",
    "vs_baseline": R / 2.0}
+
+``build_engine()`` is the single constructor of this workload, shared with
+benchmarks/profile_round.py so the profiled program can never drift from
+the measured one.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import time
 
 
-def main() -> None:
+def build_engine(layout: str = None):
+    """Build (engine, params) for the north-star workload.
+
+    ``layout``: "s2d" (default; space-to-depth resident blocks) or "flat"
+    — overridable via MFT_BENCH_LAYOUT. See docs/performance.md.
+    """
+    import os
+
     import jax
 
     # Persistent compile cache: the round program's first compile dominates
@@ -29,7 +41,13 @@ def main() -> None:
 
     enable_compile_cache()
 
-    from multimodal_fl_security_tpu.data.stacking import ClientData
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_fl_security_tpu.data.stacking import (
+        ClientData,
+        make_batch_adapter,
+    )
     from multimodal_fl_security_tpu.defenses import get_defense
     from multimodal_fl_security_tpu.models import create_model, init_model
     from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
@@ -38,9 +56,6 @@ def main() -> None:
     samples_per_client = 600
     batch_size = 32
     local_epochs = 2
-
-    import jax.numpy as jnp
-    import numpy as np
 
     # The same synthetic MNIST-shaped task as data/datasets.py's
     # ``synthetic`` family (class-prototype images + 0.35 noise), built ON
@@ -54,14 +69,12 @@ def main() -> None:
     # first MXU contraction has 3x3x8=72 lanes instead of 9.
     n_pad = ((samples_per_client + batch_size - 1) // batch_size) * batch_size
 
-    import os
-
     # Resident layout for the stem (docs/performance.md "Space-to-depth
     # stem"): "s2d" stores 2x2 pixel blocks of the padded image so the
     # per-client stem runs as a 2x2/stride-1 conv over the block grid
     # instead of the 4x4/stride-2 grouped conv (ops/s2d.py). Same math,
     # same model params.
-    layout = os.environ.get("MFT_BENCH_LAYOUT", "s2d")
+    layout = layout or os.environ.get("MFT_BENCH_LAYOUT", "s2d")
 
     @jax.jit  # fused: one output buffer instead of eager temporaries
     def build(key):
@@ -124,14 +137,11 @@ def main() -> None:
     # bf16 conv/dense compute on the MXU; params, grads, and the Krum
     # aggregation stay f32. Loss curves match f32 to 3 decimals on this
     # model (see commit history) — parity with ~1.6x throughput.
-    from multimodal_fl_security_tpu.data.stacking import make_batch_adapter
-
     model = create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
     sample = make_batch_adapter(client_data.feature_shapes)(
         {k: v[0, :batch_size] for k, v in client_data.arrays.items()}
     )
     params = init_model(model, sample, seed=0)["params"]
-
 
     spec = TrainSpec(
         learning_rate=0.01, local_epochs=local_epochs, batch_size=batch_size,
@@ -144,11 +154,18 @@ def main() -> None:
         spec,
         defense=get_defense("krum", {"num_malicious": 20, "multi_k": 1}),
     )
+    return engine, params
+
+
+def main() -> None:
+    import jax
+
+    engine, params = build_engine()
 
     # Warmup (compile). float() forces a device->host transfer: on some
     # remote-attached platforms block_until_ready returns early, so every
     # timing below syncs through a value fetch.
-    params_w, metrics = engine.run_round(params, jax.random.PRNGKey(0))
+    _, metrics = engine.run_round(params, jax.random.PRNGKey(0))
     float(metrics["client_loss_mean"])
 
     n_rounds = 3
@@ -158,7 +175,7 @@ def main() -> None:
         p, metrics = engine.run_round(p, jax.random.PRNGKey(r + 1))
     final_loss = float(metrics["client_loss_mean"])
     dt = time.perf_counter() - t0
-    assert final_loss == final_loss, "non-finite loss"
+    assert math.isfinite(final_loss), f"non-finite loss: {final_loss}"
 
     rounds_per_min = n_rounds / dt * 60.0
     baseline_rounds_per_min = 2.0  # reference: ~30 s/round (BASELINE.md)

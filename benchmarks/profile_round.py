@@ -22,61 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_engine():
-    """The bench.py workload: C=100, B=32, bf16, s2d-flat residents, Krum."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from multimodal_fl_security_tpu.data.stacking import (
-        ClientData, make_batch_adapter)
-    from multimodal_fl_security_tpu.defenses import get_defense
-    from multimodal_fl_security_tpu.models import create_model, init_model
-    from multimodal_fl_security_tpu.ops.s2d import space_to_depth
-    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
-
-    C, N = 100, 608
-
-    @jax.jit
-    def build(key):
-        kimg, klab = jax.random.split(key)
-        protos = jax.random.uniform(jax.random.PRNGKey(1000), (10, 784))
-        labels = jax.random.randint(klab, (C, N), 0, 10, jnp.int32)
-        oh = jax.nn.one_hot(labels.reshape(-1), 10, dtype=jnp.float32)
-        signal = (oh @ protos).reshape(C, N, 28, 28, 1) + 0.35 * (
-            jax.random.normal(kimg, (C, N, 28, 28, 1)))
-        images = jnp.concatenate(
-            [signal, jnp.zeros((C, N, 28, 28, 7))], axis=-1)
-        flat = space_to_depth(images).reshape(C, N, 7200)
-        return (jnp.pad(flat, ((0, 0), (0, 0), (0, 96))).astype(jnp.bfloat16),
-                labels)
-
-    images, labels = build(jax.random.PRNGKey(0))
-    cd = ClientData(
-        arrays={"image_s2d": images, "label": labels},
-        mask=np.ones((C, N), np.float32),
-        counts=np.full((C,), 600, np.int32),
-        num_classes=10,
-        feature_shapes={"image_s2d": (15, 15, 32)},
-    )
-    model = create_model("simple_cnn", num_classes=10, dtype=jnp.bfloat16)
-    sample = make_batch_adapter(cd.feature_shapes)(
-        {k: v[0, :32] for k, v in cd.arrays.items()})
-    params = init_model(model, sample, seed=0)["params"]
-    engine = RoundEngine(
-        model, cd, TrainSpec(learning_rate=0.01, local_epochs=2, batch_size=32),
-        defense=get_defense("krum", {"num_malicious": 20, "multi_k": 1}),
-    )
-    return engine, params
-
-
 def capture(logdir: str) -> str:
     import jax
 
     from multimodal_fl_security_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    engine, params = build_engine()
+    # The SHARED workload constructor (bench.py) — the profiled program is
+    # by construction the same one the driver metric measures.
+    import bench
+
+    engine, params = bench.build_engine()
     p, metrics = engine.run_round(params, jax.random.PRNGKey(0))
     float(metrics["client_loss_mean"])  # warm + hard sync
     with jax.profiler.trace(logdir):
@@ -92,7 +48,13 @@ def capture(logdir: str) -> str:
 
 def op_table(xplane_path: str):
     """Convert the xplane into (tool, parsed-json) op tables via xprof."""
-    from xprof.convert import raw_to_tool_data as rtd
+    try:
+        # Import inside the guarded region: a missing/broken xprof must
+        # not crash AFTER the expensive TPU capture — the raw xplane path
+        # plus the error still get recorded in the artifact.
+        from xprof.convert import raw_to_tool_data as rtd
+    except Exception as e:
+        return {"error": f"xprof unavailable: {type(e).__name__}: {e}"}
 
     out = {}
     for tool in ("hlo_stats", "framework_op_stats"):
@@ -134,14 +96,20 @@ def summarize(tables) -> dict:
         tk = timekeys[0]
         namekeys = [k for k in rows[0] if k and "name" in k.lower()]
         catkeys = [k for k in rows[0] if k and "categor" in k.lower()]
-        rows.sort(key=lambda r: -(r.get(tk) or 0))
+        def tval(r):
+            try:
+                return float(r.get(tk) or 0)
+            except (TypeError, ValueError):
+                return 0.0
+
+        rows.sort(key=lambda r: -tval(r))
         top = [{"op": r.get(namekeys[0]) if namekeys else "?",
                 "category": r.get(catkeys[0]) if catkeys else "?",
                 tk: r.get(tk)} for r in rows[:25]]
         by_cat = {}
         for r in rows:
             c = (r.get(catkeys[0]) if catkeys else "?") or "?"
-            by_cat[c] = by_cat.get(c, 0.0) + float(r.get(tk) or 0)
+            by_cat[c] = by_cat.get(c, 0.0) + tval(r)
         return {"tool": tool, "self_time_key": tk, "top_ops": top,
                 "by_category": dict(sorted(by_cat.items(),
                                            key=lambda kv: -kv[1]))}
@@ -153,7 +121,10 @@ def main():
     xp = capture(logdir)
     print("captured:", xp)
     tables = op_table(xp)
-    summary = summarize(tables)
+    if "error" in tables and len(tables) == 1:
+        summary = {"xplane": xp, **tables}
+    else:
+        summary = dict(summarize(tables), xplane=xp)
     out = os.path.join(REPO, "artifacts", "bench", "round_profile.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:

@@ -45,6 +45,9 @@ def main() -> None:
                     help="client_chunk (compile-bounding for large C)")
     ap.add_argument("--num-test", type=int, default=1000)
     args = ap.parse_args()
+    if args.rounds < 3:
+        ap.error("--rounds must be >= 3 (first two rounds are dropped as "
+                 "compile/warmup; fewer leaves no steady-state deltas)")
 
     from multimodal_fl_security_tpu.utils.cache import enable_compile_cache
 

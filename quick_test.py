@@ -58,5 +58,7 @@ def test_cub200() -> bool:
 
 
 if __name__ == "__main__":
-    ok = test_dp_sgd() and test_cub200()
-    sys.exit(0 if ok else 1)
+    # Run BOTH gates even when the first fails: one run reports every
+    # broken path instead of one debug cycle per failure.
+    results = [test_dp_sgd(), test_cub200()]
+    sys.exit(0 if all(results) else 1)
