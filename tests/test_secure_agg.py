@@ -632,6 +632,94 @@ def test_server_rejects_mismatched_secagg_scale():
     assert "e" in err and "secagg_scale" in str(err["e"])
 
 
+@pytest.mark.slow
+def test_two_dropouts_across_key_generations_over_tcp():
+    """Membership churn across rotations: with 5 clients and t=3, one
+    client dies in round 2 (its round-2 key reconstructed from the
+    shares distributed at round 1's unmask) and another dies in round 4
+    (its round-4 key from round-3's unmask — two generations later).
+    Every round must complete unaborted and the run must finish clean."""
+    from multimodal_fl_security_tpu.core.pytrees import flatten_tree
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.runtime.client import FLClient
+    from multimodal_fl_security_tpu.runtime.server import FLServer
+    from multimodal_fl_security_tpu.runtime.transport import recv_msg, send_msg
+
+    base = {
+        "dataset": "synthetic",
+        "dataset_params": {"num_train": 256, "num_test": 100},
+        "num_clients": 5, "batch_size": 16, "local_epochs": 1,
+        "learning_rate": 0.05, "partition": "iid",
+        "secure_aggregation": True,
+    }
+    ds = load_dataset("synthetic", "train", **base["dataset_params"])
+    model = create_model("simple_cnn", num_classes=10)
+    template = init_model(model, {k: v[:16] for k, v in ds.arrays.items()},
+                          seed=0)["params"]
+    flat0 = np.asarray(flatten_tree(template), np.float32)
+
+    port = _free_port()
+    server = FLServer(flat0, num_clients=5, num_rounds=5,
+                      host="127.0.0.1", port=port, fit_timeout=180.0,
+                      secure_aggregation=True)  # t = 5//2+1 = 3
+    result = {}
+    st = threading.Thread(target=lambda: result.update(f=server.serve()))
+    st.start()
+    time.sleep(0.3)
+
+    clients = [FLClient(i, base) for i in range(3)]
+    for c in clients:
+        c.fit(flat0, 0)
+    cts = [threading.Thread(target=c.run, kwargs={"port": port})
+           for c in clients]
+    for t_ in cts:
+        t_.start()
+
+    def flaky(cid, die_round):
+        sec = SecAggClient(cid)
+        sock = sk.create_connection(("127.0.0.1", port), timeout=120)
+        send_msg(sock, {"type": "hello", "client_id": cid,
+                        "secagg_pub": sec.public_key_hex(),
+                        "secagg_scale": sec.scale})
+        while True:
+            msg = recv_msg(sock)
+            if msg.get("type") == "done":
+                return
+            if msg.get("type") == "secagg_keys":
+                send_msg(sock, sec.handshake(msg["pubs"], msg["threshold"]))
+            elif msg.get("type") == "unmask":
+                send_msg(sock, sec.unmask_reply(msg))
+            elif msg.get("type") == "fit":
+                if msg["round"] >= die_round:
+                    sock.close()
+                    return
+                if msg.get("pubs"):
+                    sec.begin_round(msg["pubs"])
+                delta = np.zeros_like(flat0, dtype=np.float64)
+                reply = {"client_id": cid, "num_examples": 1,
+                         "metrics": {"loss": 0.0}}
+                reply.update(sec.round_payload(delta, 1, msg["round"],
+                                               msg["participants"]))
+                send_msg(sock, reply)
+
+    fts = [threading.Thread(target=flaky, args=(3, 2)),
+           threading.Thread(target=flaky, args=(4, 4))]
+    for t_ in fts:
+        t_.start()
+    st.join(timeout=420)
+    for t_ in fts + cts:
+        t_.join(timeout=60)
+
+    assert "f" in result, "server did not finish"
+    assert len(server.history) == 5
+    assert [h["aborted"] for h in server.history] == [False] * 5
+    assert [h["num_failures"] for h in server.history] == [0, 1, 0, 1, 0]
+    assert server.history[-1]["num_participants"] == 3
+    assert np.all(np.isfinite(result["f"]))
+    assert np.max(np.abs(result["f"] - flat0)) < 50.0  # no mask garbage
+
+
 def test_server_rejects_hello_without_scale():
     """secagg_pub with no secagg_scale must be refused, not defaulted —
     defaulting would vacuously pass the mismatch guard."""
