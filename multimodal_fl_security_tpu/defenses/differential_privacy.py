@@ -52,11 +52,24 @@ class DPSGDDefense(BaseDefense):
         # Noise std is clip_norm * z / n while per-client sensitivity of the
         # weighted mean is ~clip_norm / n, so the accountant's effective
         # noise multiplier (sigma / sensitivity) is z itself.
+        # ``sampling_rate`` < 1 (set by the runner from clients_per_round /
+        # num_clients, or via config) turns on subsampling amplification
+        # (utils/privacy.py, Poisson bound at q = k/C).
+        self.sampling_rate = float(self.config.get("sampling_rate", 1.0))
+        self._weight_ratio = 1.0
         self._accountant = None
         if self.noise_multiplier > 0:
-            from multimodal_fl_security_tpu.utils.privacy import RDPAccountant
+            self._rebuild_accountant()
 
-            self._accountant = RDPAccountant(self.noise_multiplier)
+    def _rebuild_accountant(self) -> None:
+        from multimodal_fl_security_tpu.utils.privacy import RDPAccountant
+
+        steps = self._accountant.steps if self._accountant is not None else 0
+        self._accountant = RDPAccountant(
+            self.noise_multiplier * self._weight_ratio,
+            sampling_rate=self.sampling_rate,
+        )
+        self._accountant.step(steps)  # preserve rounds already applied
 
     def aggregate_with_aux(self, updates, weights, ctx=None):
         # NOTE: traced under jit — NO host-side accounting here (a Python
@@ -97,12 +110,16 @@ class DPSGDDefense(BaseDefense):
         w = np.asarray(weights, np.float64)
         if w.size == 0 or self._accountant is None:
             return
-        ratio = float(w.sum() / (w.size * w.max()))
-        from multimodal_fl_security_tpu.utils.privacy import RDPAccountant
+        self._weight_ratio = float(w.sum() / (w.size * w.max()))
+        self._rebuild_accountant()
 
-        fresh = RDPAccountant(self.noise_multiplier * ratio)
-        fresh.step(self._accountant.steps)  # preserve rounds already applied
-        self._accountant = fresh
+    def set_sampling_rate(self, q: float) -> None:
+        """Enable subsampling amplification at participation rate ``q``
+        (= clients_per_round / num_clients). Called by the runner when the
+        engine subsamples clients; preserves rounds already accounted."""
+        self.sampling_rate = float(q)
+        if self._accountant is not None:
+            self._rebuild_accountant()
 
     def account_round(self, n: int = 1) -> None:
         """Record ``n`` applied rounds; called by the training loop."""

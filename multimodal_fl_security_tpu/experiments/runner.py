@@ -269,6 +269,12 @@ class ExperimentRunner:
             # (heterogeneous shards make the heaviest client's effective
             # noise multiplier smaller than the nominal z).
             defense.set_client_weights(engine.counts)
+        if engine.clients_per_round and hasattr(defense, "set_sampling_rate"):
+            # Client subsampling amplifies privacy: account at the Poisson
+            # bound with q = k/C (utils/privacy.py).
+            defense.set_sampling_rate(
+                engine.clients_per_round / engine.num_clients
+            )
         for r in range(start_round, config.num_rounds):
             rkey = jax.random.fold_in(round_key, r)
             params, round_metrics = engine.run_round(params, rkey)

@@ -324,6 +324,46 @@ class RoundEngine:
         return server_train
 
     # ------------------------------------------------------------------
+    def _make_vtrain(self) -> Callable:
+        """Client-axis local training, chunk-aware.
+
+        Returns ``train_all(params, arrays, mask, ckeys) -> (stacked,
+        losses)`` — a plain vmap over the leading client axis, or (when
+        ``client_chunk`` is set and divides the row count) a vmap of one
+        chunk inside a ``lax.map`` over chunks, so XLA compiles ONE
+        chunk-sized body however large C grows (see __init__ for the
+        measured compile-time necessity). Used by both the round program
+        and :meth:`detect_malicious`; a row count the chunk does not
+        divide (detection runs the FULL client axis even under
+        subsampling) falls back to the plain vmap.
+        """
+        vtrain = jax.vmap(self._local_train, in_axes=(None, 0, 0, 0))
+        ch = self.client_chunk
+
+        def train_all(params, arrays, mask, ckeys):
+            rows = mask.shape[0]
+            if ch is None or rows <= ch or rows % ch != 0:
+                return vtrain(params, arrays, mask, ckeys)
+            n_chunks = rows // ch
+
+            def chunk(xs):
+                a, m, k = xs
+                return vtrain(params, a, m, k)
+
+            stacked, losses = jax.lax.map(chunk, (
+                {k: v.reshape((n_chunks, ch) + v.shape[1:])
+                 for k, v in arrays.items()},
+                mask.reshape(n_chunks, ch, -1),
+                ckeys.reshape((n_chunks, ch) + ckeys.shape[1:]),
+            ))
+            stacked = jax.tree_util.tree_map(
+                lambda x: x.reshape((n_chunks * ch,) + x.shape[2:]), stacked
+            )
+            return stacked, losses.reshape(-1)
+
+        return train_all
+
+    # ------------------------------------------------------------------
     def _build_round_fn(self) -> Callable:
         attack, defense = self.attack, self.defense
         num_clients = self.num_clients
@@ -333,6 +373,8 @@ class RoundEngine:
         stateful = self._defense_stateful
 
         server_opt = self.server_opt
+
+        train_all = self._make_vtrain()
 
         def round_fn(params, key, arrays, mask, counts, malicious_mask,
                      defense_state, server_opt_state):
@@ -351,30 +393,7 @@ class RoundEngine:
             else:
                 client_ids = jnp.arange(num_clients)
             ckeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(client_ids)
-            vtrain = jax.vmap(self._local_train, in_axes=(None, 0, 0, 0))
-            if self.client_chunk is None:
-                new_stacked, client_losses = vtrain(
-                    params, arrays, mask, ckeys
-                )
-            else:
-                ch = self.client_chunk
-                n_chunks = mask.shape[0] // ch
-
-                def chunk(xs):
-                    a, m, k = xs
-                    return vtrain(params, a, m, k)
-
-                new_stacked, client_losses = jax.lax.map(chunk, (
-                    {k: v.reshape((n_chunks, ch) + v.shape[1:])
-                     for k, v in arrays.items()},
-                    mask.reshape(n_chunks, ch, -1),
-                    ckeys.reshape((n_chunks, ch) + ckeys.shape[1:]),
-                ))
-                new_stacked = jax.tree_util.tree_map(
-                    lambda x: x.reshape((n_chunks * ch,) + x.shape[2:]),
-                    new_stacked,
-                )
-                client_losses = client_losses.reshape(-1)
+            new_stacked, client_losses = train_all(params, arrays, mask, ckeys)
 
             updates = flatten_stacked(new_stacked)  # [C, D]
 
@@ -524,15 +543,14 @@ class RoundEngine:
         ctx["defense_state"]."""
         self._ensure_defense_state(params)
         if self._detect_fn is None:
+            train_all = self._make_vtrain()
 
             def _detect(params, key, arrays, mask, counts, malicious,
                         dstate):
                 ckeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
                     jnp.arange(self.num_clients)
                 )
-                new_stacked, _ = jax.vmap(
-                    self._local_train, in_axes=(None, 0, 0, 0)
-                )(params, arrays, mask, ckeys)
+                new_stacked, _ = train_all(params, arrays, mask, ckeys)
                 updates = flatten_stacked(new_stacked)
                 global_flat = flatten_tree(params)
                 key_attack, key_defense, key_server = jax.random.split(

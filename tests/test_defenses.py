@@ -299,3 +299,44 @@ def test_rdp_accountant_sane():
     tighter = RDPAccountant(noise_multiplier=4.0)
     tighter.step(100)
     assert tighter.epsilon(1e-5) < e100
+
+
+def test_rdp_subsampling_amplification():
+    import math
+
+    from multimodal_fl_security_tpu.utils.privacy import (
+        RDPAccountant,
+        subsampled_gaussian_rdp,
+    )
+
+    # q = 1 reduces exactly to the full-participation Gaussian line.
+    for a in (2, 4, 16, 64):
+        assert subsampled_gaussian_rdp(1.0, 1.3, a) == a / (2 * 1.3 ** 2)
+    # Cross-check the log-space evaluation against a direct small-number sum.
+    q, z, a = 0.01, 1.0, 4
+    direct = sum(
+        math.comb(a, k) * (1 - q) ** (a - k) * q ** k
+        * math.exp(k * (k - 1) / (2 * z * z))
+        for k in range(a + 1)
+    )
+    expect = math.log(direct) / (a - 1)
+    assert abs(subsampled_gaussian_rdp(q, z, a) - expect) < 1e-12
+    # Amplification: epsilon strictly shrinks with the sampling rate.
+    eps = {}
+    for q in (0.05, 0.2, 1.0):
+        acc = RDPAccountant(noise_multiplier=1.0, sampling_rate=q)
+        acc.step(50)
+        eps[q] = acc.epsilon(1e-5)
+    assert 0 < eps[0.05] < eps[0.2] < eps[1.0]
+
+
+def test_dp_sgd_set_sampling_rate_preserves_steps():
+    from multimodal_fl_security_tpu.defenses import get_defense
+
+    d = get_defense("dp_sgd", {"noise_multiplier": 1.0, "clip_norm": 1.0})
+    d.account_round(10)
+    full = d.privacy_spent()["epsilon"]
+    d.set_sampling_rate(0.1)
+    amplified = d.privacy_spent()["epsilon"]
+    assert d.rounds_applied == 10 and d._accountant.steps == 10
+    assert 0 < amplified < full

@@ -236,3 +236,37 @@ def test_client_chunk_must_divide():
     model = create_model("simple_cnn", num_classes=10)
     with _pytest.raises(ValueError, match="divide"):
         RoundEngine(model, cd, TrainSpec(batch_size=16), client_chunk=4)
+
+
+def test_detect_malicious_chunked_matches_full():
+    """detect_malicious must run the same chunk-bounded program as the
+    round (a C-wide vmap at C>=200 is a multi-minute compile on the
+    tunneled service — the chunk exists to bound it)."""
+    import jax
+
+    from multimodal_fl_security_tpu.data.datasets import load_dataset
+    from multimodal_fl_security_tpu.data.partition import partition_data
+    from multimodal_fl_security_tpu.data.stacking import stack_clients
+    from multimodal_fl_security_tpu.defenses import get_defense
+    from multimodal_fl_security_tpu.models import create_model, init_model
+    from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
+
+    train = load_dataset("synthetic", "train", num_train=512, num_test=64,
+                         image_shape=(16, 16, 1))
+    idx = partition_data(train.labels, 8, "iid")
+    cd = stack_clients(train, idx, pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    sample = {k: v[0, :16] for k, v in cd.arrays.items()}
+    params = init_model(model, sample, seed=0)["params"]
+    spec = TrainSpec(batch_size=16, local_epochs=1)
+
+    def build(chunk):
+        return RoundEngine(
+            model, cd, spec, defense=get_defense("krum", {"num_malicious": 2}),
+            malicious_clients=[1, 5], client_chunk=chunk,
+        )
+
+    key = jax.random.PRNGKey(3)
+    full = build(None).detect_malicious(params, key)
+    chunked = build(4).detect_malicious(params, key)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
