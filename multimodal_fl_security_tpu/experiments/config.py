@@ -26,6 +26,11 @@ class ExperimentConfig:
     name: str = "experiment"
     dataset: str = "synthetic"
     model: Optional[str] = None  # None = dataset default
+    # Extra keyword arguments for the model factory (models/registry.py),
+    # e.g. {"norm": "batch"} selects the ResNet reference-compat
+    # frozen-stats BatchNorm mode required for converted torchvision
+    # checkpoints (models/torch_convert.py).
+    model_params: Dict[str, Any] = field(default_factory=dict)
     # Transfer learning (reference: cub200_cnn.py:29-54): path to a local
     # pickled parameter pytree (models/pretrained.py::save_params). Leaves
     # merge by name+shape; a head with a different class count keeps its

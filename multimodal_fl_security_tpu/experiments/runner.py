@@ -126,6 +126,7 @@ class ExperimentRunner:
         model = create_model(
             config.default_model(), num_classes=train.num_classes,
             dtype=jnp.dtype(config.compute_dtype).type,
+            **config.model_params,
         )
         sample_batch = {
             k: v[0, : config.batch_size] for k, v in client_data.arrays.items()

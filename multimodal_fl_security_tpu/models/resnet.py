@@ -18,7 +18,13 @@ Deliberate divergences, documented per SURVEY.md §7:
     (models/pretrained.py::load_pretrained — a head with a different class
     count keeps its fresh init, like the reference's replaced fc), and
     ``freeze_backbone`` masks every non-head subtree out of local training
-    (reference: cub200_cnn.py:29-54).
+    (reference: cub200_cnn.py:29-54). A torchvision ResNet-50 checkpoint —
+    the reference's actual weights format — converts directly:
+    ``python -m multimodal_fl_security_tpu.models.torch_convert ckpt.pth
+    out.pkl`` folds BatchNorm stats into the ``norm="batch"`` affine
+    exactly; together with the torch-exact explicit padding below, the
+    converted model reproduces torch's eval forward numerically
+    (tests/test_torch_convert.py).
 """
 
 from __future__ import annotations
@@ -69,8 +75,14 @@ class ResNetBlock(nn.Module):
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = self.norm()(y)
         y = nn.relu(y)
+        # Explicit symmetric padding = torch's Conv2d(padding=1). For
+        # stride 1 this IS "SAME"; for stride 2 XLA's "SAME" pads
+        # asymmetrically ((0,1) on even inputs), which would shift
+        # converted torchvision weights one pixel off their training-time
+        # receptive fields (models/torch_convert.py).
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
@@ -104,11 +116,15 @@ class ResNet(nn.Module):
         else:
             raise ValueError(f"unknown norm {self.norm!r}")
         x = batch["image"].astype(self.dtype)
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype)(x)
+        # Torch-exact stem padding (Conv2d(7, stride 2, padding=3) and
+        # MaxPool2d(3, stride 2, padding=1)): XLA's "SAME" pads these
+        # stride-2 windows asymmetrically, see note in ResNetBlock.
+        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False,
+                    dtype=self.dtype)(x)
         x = norm()(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, n_blocks in enumerate(self.stage_sizes):
             for block in range(n_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
@@ -121,10 +137,12 @@ class ResNet(nn.Module):
 
 @MODELS.register("resnet50", "cub200_cnn")
 def _make_resnet50(num_classes: int = 200, **kwargs) -> ResNet:
-    return ResNet(num_classes=num_classes, stage_sizes=(3, 4, 6, 3), **kwargs)
+    kwargs.setdefault("stage_sizes", (3, 4, 6, 3))
+    return ResNet(num_classes=num_classes, **kwargs)
 
 
 @MODELS.register("resnet18")
 def _make_resnet18(num_classes: int = 10, **kwargs) -> ResNet:
     # Kept bottleneck-style for simplicity; (2,2,2,2) stage layout.
-    return ResNet(num_classes=num_classes, stage_sizes=(2, 2, 2, 2), **kwargs)
+    kwargs.setdefault("stage_sizes", (2, 2, 2, 2))
+    return ResNet(num_classes=num_classes, **kwargs)

@@ -41,6 +41,8 @@ _NESTED_MAP = {
     ("data", "partition"): "partition",
     ("data", "alpha"): "alpha",
     ("model", "name"): "model",
+    ("model", "pretrained_path"): "pretrained_path",
+    ("model", "freeze_backbone"): "freeze_backbone",
     ("attack", "enabled"): "attack_enabled",
     ("attack", "type"): "attack_type",
     ("attack", "malicious_clients"): "malicious_clients",
@@ -73,6 +75,7 @@ def config_from_dict(data: Dict[str, Any],
     flat: Dict[str, Any] = {}
     extra_attack: Dict[str, Any] = {}
     extra_defense: Dict[str, Any] = {}
+    extra_model: Dict[str, Any] = {}
 
     def unknown(name: str, value: Any) -> None:
         if extras is not None:
@@ -94,6 +97,10 @@ def config_from_dict(data: Dict[str, Any],
                     extra_attack[sub] = v
                 elif key == "defense":
                     extra_defense[sub] = v
+                elif key == "model":
+                    # Unmapped model-section keys are model-factory kwargs
+                    # (e.g. norm: batch for the reference-compat BN mode).
+                    extra_model[sub] = v
                 elif key not in ("logging", "evaluation"):
                     unknown(sub, v)
         elif key in _FIELD_NAMES:
@@ -106,6 +113,8 @@ def config_from_dict(data: Dict[str, Any],
         flat.setdefault("attack_params", {}).update(extra_attack)
     if extra_defense:
         flat.setdefault("defense_params", {}).update(extra_defense)
+    if extra_model:
+        flat.setdefault("model_params", {}).update(extra_model)
     return ExperimentConfig(**flat)
 
 

@@ -151,6 +151,9 @@ def test_yaml_nested_and_flat_configs(tmp_path):
         "attack": {"enabled": True, "type": "backdoor",
                    "trigger_position": "center"},
         "defense": {"enabled": True, "type": "krum", "num_malicious": 2},
+        "model": {"name": "resnet18", "norm": "batch",
+                  "pretrained_path": "/x/ckpt.pkl",
+                  "freeze_backbone": True},
     }
     cfg = config_from_dict(nested)
     assert cfg.name == "exp1" and cfg.seed == 7
@@ -159,6 +162,11 @@ def test_yaml_nested_and_flat_configs(tmp_path):
     assert cfg.attack_enabled and cfg.attack_type == "backdoor"
     assert cfg.attack_params["trigger_position"] == "center"
     assert cfg.num_malicious_assumed == 2
+    # model section: name maps, transfer fields map, the rest are
+    # model-factory kwargs
+    assert cfg.model == "resnet18"
+    assert cfg.model_params == {"norm": "batch"}
+    assert cfg.pretrained_path == "/x/ckpt.pkl" and cfg.freeze_backbone
 
     # Round-trip flat save/load.
     p = str(tmp_path / "cfg.yaml")
