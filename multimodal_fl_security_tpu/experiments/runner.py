@@ -225,15 +225,19 @@ class ExperimentRunner:
             if triggered is not None else None
         )
 
+        trig_mask = (
+            np.asarray(trig_batches["mask"]).reshape(-1) > 0
+            if trig_batches is not None else None
+        )
+
         def asr_now(p) -> Optional[float]:
             if trig_batches is None:
                 return None
             _, preds = eval_fn(p, trig_batches)
-            mask = np.asarray(trig_batches["mask"]).reshape(-1) > 0
-            hits = np.asarray(preds).reshape(-1)[mask] == int(
+            hits = np.asarray(preds).reshape(-1)[trig_mask] == int(
                 getattr(attack, "target_class", 0)
             )
-            return float(hits.mean()) if mask.any() else 0.0
+            return float(hits.mean()) if trig_mask.any() else 0.0
 
         tracker = None
         if config.track:
@@ -280,16 +284,22 @@ class ExperimentRunner:
             rkey = jax.random.fold_in(round_key, r)
             params, round_metrics = engine.run_round(params, rkey)
             totals, _ = eval_fn(params, eval_batches)
+            # ONE batched device->host transfer for every per-round scalar
+            # (device_get issues all copies async, then gathers): each
+            # separate float()/np.asarray() is a full host<->device round
+            # trip, and those fetch latencies — not eval compute — were the
+            # product-path round tail vs the bare engine (runner_bench).
+            small = {
+                k: v for k, v in round_metrics.items()
+                if (v.size if hasattr(v, "size") else np.asarray(v).size) == 1
+            }
+            totals, defense_metrics = jax.device_get((totals, small))
             count = max(float(totals["count"]), 1.0)
             acc = float(totals["correct"]) / count
             loss = float(totals["loss_sum"]) / count
             round_accuracies.append(acc)
             round_losses.append(loss)
             round_asr = asr_now(params) if config.eval_asr_every_round else None
-            defense_metrics = {
-                k: v for k, v in round_metrics.items()
-                if np.asarray(v).size == 1
-            }
             if accounts_privacy:
                 defense.account_round()
                 defense_metrics["privacy_epsilon"] = (
