@@ -40,22 +40,28 @@ def run_one(num_clients: int) -> dict:
     # ship over the tunnel. Jitted so XLA fuses gather+noise+add into the
     # single output buffer — the eager version holds 3 array-sized
     # temporaries, which OOMs a 16 GB chip at C=200 across a sweep.
+    # Built in <=200-client CHUNKS written into a donated resident buffer:
+    # even fused, one full-C build holds the f32 matmul output (12.2 GB at
+    # C=800) next to the bf16 result — chunking bounds the f32 scratch at
+    # ~3 GB so the resident bf16 buffer is the only O(C) allocation.
+    bchunk = min(num_clients, 200)
+    assert num_clients % bchunk == 0
+    dim = 28 * 28 * 8
+
     @jax.jit
-    def build(key):
+    def build_chunk(key):
         kimg, klab = jax.random.split(key)
         protos = jax.random.uniform(
-            jax.random.PRNGKey(1000), (10, 28 * 28 * 8), jnp.float32
+            jax.random.PRNGKey(1000), (10, dim), jnp.float32
         )
-        labels = jax.random.randint(
-            klab, (num_clients, n_pad), 0, 10, jnp.int32
-        )
+        labels = jax.random.randint(klab, (bchunk, n_pad), 0, 10, jnp.int32)
         # One-hot matmul instead of protos[labels]: XLA's TPU layout for
         # the big gather pads its scratch 4.6x (measured 10.15 GB at
         # C=200 — OOM); the [Cn, 10] x [10, 6272] GEMM has none of that.
         oh = jax.nn.one_hot(labels.reshape(-1), 10, dtype=jnp.float32)
-        base = (oh @ protos).reshape(num_clients, n_pad, 28 * 28 * 8)
+        base = (oh @ protos).reshape(bchunk, n_pad, dim)
         images = base + 0.35 * jax.random.normal(
-            kimg, (num_clients, n_pad, 28 * 28 * 8), jnp.float32
+            kimg, (bchunk, n_pad, dim), jnp.float32
         )
         # Stored FLAT [C, N, 6272] (6272 = 49*128 -> zero tile padding;
         # the natural [.., 28, 8] bf16 layout tile-pads 5.2x = OOM at
@@ -63,7 +69,20 @@ def run_one(num_clients: int) -> dict:
         # NHWC per batch inside the model wrapper below.
         return images.astype(jnp.bfloat16), labels
 
-    images, labels = build(jax.random.PRNGKey(0))
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def place(images, labels, img_c, lab_c, at):
+        return (
+            jax.lax.dynamic_update_slice(images, img_c, (at, 0, 0)),
+            jax.lax.dynamic_update_slice(labels, lab_c, (at, 0)),
+        )
+
+    images = jnp.zeros((num_clients, n_pad, dim), jnp.bfloat16)
+    labels = jnp.zeros((num_clients, n_pad), jnp.int32)
+    for i in range(num_clients // bchunk):
+        img_c, lab_c = build_chunk(jax.random.PRNGKey(i))
+        images, labels = place(images, labels, img_c, lab_c, i * bchunk)
     mask = np.zeros((num_clients, n_pad), np.float32)
     mask[:, :samples_per_client] = 1.0
     cd = ClientData(
