@@ -200,7 +200,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     pp = sub.add_parser("paper", help="paper attack x defense matrix")
     pp.add_argument("--preset", default="quick",
-                    choices=["quick", "mnist", "cub200"])
+                    choices=["quick", "mnist", "cub200", "digits_full"])
     pp.add_argument("--full-distributions", action="store_true",
                     help="add dirichlet alpha in {0.5, 0.1} cells")
     pp.add_argument("--results-dir", default="results/paper")

@@ -50,6 +50,16 @@ PAPER_PRESETS: Dict[str, Dict[str, Any]] = {
         local_epochs=1, batch_size=32, learning_rate=0.05,
         seeds=[42], dataset_params={"num_train": 2000, "num_test": 500},
     ),
+    # The MNIST paper config on the bundled sklearn digits dataset — the
+    # full 300-experiment reference sweep (run with
+    # full_distributions=True) with no downloads. The reference budgets
+    # 50-55 h for this on a GPU (RUNPOD_SETUP_GUIDE.md / PROJECT_KNOWLEDGE
+    # .md:596); see artifacts/full_paper_digits for the on-TPU wall clock.
+    "digits_full": dict(
+        datasets=["digits"], client_counts=[10], num_rounds=10,
+        local_epochs=2, batch_size=32, learning_rate=0.05,
+        seeds=[42, 123, 456, 789, 1024],
+    ),
 }
 
 PAPER_ATTACKS = ["none", "label_flip", "backdoor", "model_replacement"]

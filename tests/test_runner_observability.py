@@ -101,3 +101,10 @@ def test_paper_matrix_presets():
     assert len(quick) == 20  # 4 x 5 x iid x 1 seed
     mr = [c for c in quick if c.attack_type == "model_replacement"][0]
     assert mr.attack_enabled and mr.malicious_clients
+    # The no-download full sweep: the reference's MNIST paper config on
+    # the bundled digits dataset, same 300-experiment shape.
+    digits = build_paper_matrix("digits_full", full_distributions=True)
+    dcells = digits.cells()
+    assert len(dcells) == 300
+    assert all(c.dataset == "digits" and c.num_clients == 10
+               for c in dcells)
