@@ -119,7 +119,8 @@ def p_iota():
     out = jax.jit(lambda x: _call(k, jax.ShapeDtypeStruct(x.shape, x.dtype), x))(x)
     rows = np.arange(60)[None, :, None] % 4 < 2
     lanes = np.arange(128)[None, None, :] >= 32
-    np.testing.assert_allclose(np.asarray(out), np.where(rows & lanes, 1.0, 0.0))
+    ref = np.broadcast_to(np.where(rows & lanes, 1.0, 0.0), (32, 60, 128))
+    np.testing.assert_allclose(np.asarray(out), ref)
 
 
 # ------------------------------------------------------------- dot_general
@@ -352,6 +353,51 @@ def p_bf16():
         k, jax.ShapeDtypeStruct((32, 56, 256), jnp.float32), a, b))(a, b)
     ref = np.einsum("brk,kn->brn", np.asarray(a, np.float32), np.asarray(b, np.float32))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-1)
+
+
+@probe("bf16_default_prec: bf16 operands f32 accum, DEFAULT precision")
+def p_bf16_default():
+    # bf16_mixed with precision=HIGHEST fails ("Bad lhs type"): HIGHEST on
+    # bf16 operands requests a multi-pass f32 emulation Mosaic rejects.
+    # DEFAULT precision is the native single-pass MXU bf16 path.
+    a = jax.random.normal(jax.random.PRNGKey(0), (32, 56, 128), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (128, 256), jnp.bfloat16)
+
+    def k(a_ref, b_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            a_ref[:], b_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = jax.jit(lambda a, b: _call(
+        k, jax.ShapeDtypeStruct((32, 56, 256), jnp.float32), a, b))(a, b)
+    ref = np.einsum("brk,kn->brn", np.asarray(a, np.float32), np.asarray(b, np.float32))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-1)
+
+
+@probe("outer_wgrad_chunked: wgrad via grid over r-chunks of 8")
+def p_outer_chunked():
+    # outer_wgrad in one shot stack-allocates 33 MB of scoped VMEM (>16 MB
+    # limit). Chunking the kept r dimension over the grid bounds the
+    # per-invocation footprint to [8,256,128] = 1 MB.
+    a = jax.random.normal(jax.random.PRNGKey(0), (32, 56, 256), jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(1), (32, 128), jnp.float32)
+
+    def k(a_ref, g_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            a_ref[:], g_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.jit(lambda a, g: pl.pallas_call(
+        k,
+        grid=(7,),
+        in_specs=[pl.BlockSpec((32, 8, 256), lambda r: (0, r, 0)),
+                  pl.BlockSpec((32, 128), lambda r: (0, 0))],
+        out_specs=pl.BlockSpec((8, 256, 128), lambda r: (r, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((56, 256, 128), jnp.float32),
+    )(a, g))(a, g)
+    ref = np.einsum("brl,bf->rlf", np.asarray(a), np.asarray(g))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-3)
 
 
 def main():
