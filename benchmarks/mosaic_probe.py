@@ -400,6 +400,139 @@ def p_outer_chunked():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-3)
 
 
+# ------------------------------------------- wave 2: backward-pass forms
+@probe("dgrad_rhs_T_2d: [32,128]x[128,128] contract rhs dim1")
+def p_dgrad_2d():
+    # fc2 dgrad: dact = dlogits @ W2^T, expressed as a transposed-rhs
+    # contraction (no explicit transpose op).
+    g = jax.random.normal(jax.random.PRNGKey(0), (32, 128), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (128, 128), jnp.float32)
+
+    def k(g_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            g_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.jit(lambda g, w: _call(
+        k, jax.ShapeDtypeStruct((32, 128), jnp.float32), g, w))(g, w)
+    ref = np.asarray(g) @ np.asarray(w).T
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-3)
+
+
+@probe("dgrad_rhs_T_big: [1792,256]x[1152,256] contract rhs dim1")
+def p_dgrad_big():
+    # conv2 dgrad vs the tap-stacked embedded weight.
+    g = jax.random.normal(jax.random.PRNGKey(0), (1792, 256), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (1152, 256), jnp.float32)
+
+    def k(g_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            g_ref[:], w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = jax.jit(lambda g, w: _call(
+        k, jax.ShapeDtypeStruct((1792, 1152), jnp.float32), g, w))(g, w)
+    ref = np.asarray(g) @ np.asarray(w).T
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-1)
+
+
+@probe("dgrad_rhs_T_batched: [28,32,128]x[28,64,128] batch0 contract last")
+def p_dgrad_batched():
+    # fc1 dgrad: per row-position r, dact_r = g @ (W_r)^T.
+    g = jax.random.normal(jax.random.PRNGKey(0), (28, 32, 128), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (28, 64, 128), jnp.float32)
+
+    def k(g_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            g_ref[:], w_ref[:], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.jit(lambda g, w: _call(
+        k, jax.ShapeDtypeStruct((28, 32, 64), jnp.float32), g, w))(g, w)
+    ref = np.einsum("rbf,rlf->rbl", np.asarray(g), np.asarray(w))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-3)
+
+
+@probe("broadcast_major: [32,128] -> [28,32,128]")
+def p_broadcast():
+    x = jnp.arange(32 * 128, dtype=jnp.float32).reshape(32, 128)
+
+    def k(x_ref, o_ref):
+        o_ref[:] = jnp.broadcast_to(x_ref[:][None], (28, 32, 128))
+
+    out = jax.jit(lambda x: _call(
+        k, jax.ShapeDtypeStruct((28, 32, 128), jnp.float32), x))(x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(np.asarray(x)[None], (28, 32, 128)))
+
+
+@probe("sublane_pool_reshape: [32,56,256]->[32,14,4,256] max i-pairs")
+def p_sublane_pool():
+    # Max-pool over the i dimension via a sublane-dim reshape + reduce
+    # (rows=(i, jq): pair i's, lanes untouched) — compacts rows 56 -> 28.
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 56, 256), jnp.float32)
+
+    def k(x_ref, o_ref):
+        v = x_ref[:].reshape(32, 7, 2, 4, 256)
+        o_ref[:] = jnp.max(v, axis=2).reshape(32, 28, 256)
+
+    out = jax.jit(lambda x: _call(
+        k, jax.ShapeDtypeStruct((32, 28, 256), jnp.float32), x))(x)
+    ref = np.asarray(x).reshape(32, 7, 2, 4, 256).max(axis=2).reshape(32, 28, 256)
+    np.testing.assert_allclose(np.asarray(out), ref)
+
+
+@probe("lane_slice_64: [32,28,256][:, :, 0:64] and [128:192]")
+def p_lane_slice64():
+    # fc1 splits the pooled activation's valid jr groups (0 and 2) out of
+    # the (jr=4, ch=64) lane packing via static lane slices.
+    x = jnp.arange(32 * 28 * 256, dtype=jnp.float32).reshape(32, 28, 256)
+
+    def k(x_ref, o_ref):
+        a = x_ref[:, :, 0:64]
+        b = x_ref[:, :, 128:192]
+        o_ref[:] = jnp.concatenate([a, b], axis=2)
+
+    out = jax.jit(lambda x: _call(
+        k, jax.ShapeDtypeStruct((32, 28, 128), jnp.float32), x))(x)
+    xn = np.asarray(x)
+    ref = np.concatenate([xn[:, :, 0:64], xn[:, :, 128:192]], axis=2)
+    np.testing.assert_allclose(np.asarray(out), ref)
+
+
+@probe("scalar_accum_smem: per-step loss accumulated in SMEM scratch")
+def p_scalar_smem():
+    S = 5
+    data = jnp.arange(S * 8 * 128, dtype=jnp.float32).reshape(S, 8, 128)
+
+    def k(x_ref, o_ref, acc_ref):
+        s = pl.program_id(0)
+
+        @pl.when(s == 0)
+        def _():
+            acc_ref[0] = 0.0
+
+        acc_ref[0] = acc_ref[0] + jnp.sum(x_ref[0])
+
+        @pl.when(s == S - 1)
+        def _():
+            o_ref[0] = acc_ref[0]
+
+    out = jax.jit(lambda d: pl.pallas_call(
+        k,
+        grid=(S,),
+        in_specs=[pl.BlockSpec((1, 8, 128), lambda s: (s, 0, 0))],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(d))(data)
+    np.testing.assert_allclose(float(out[0]), float(np.asarray(data).sum()), rtol=1e-6)
+
+
 def main():
     fns = [v for v in globals().values() if getattr(v, "_probe", False)]
     for fn in fns:
