@@ -1,4 +1,17 @@
-"""Per-client-weight fused stem conv as a Pallas TPU kernel.
+"""FALSIFIED — kept only as the record of a dead kernel family.
+
+This kernel is NOT buildable on the current Mosaic toolchain (three
+compiler walls, errors recorded in docs/performance.md "Falsified
+(round 3): Pallas im2col-in-VMEM stem kernel") and is NOT wired into
+any product path: ``__all__`` is empty, nothing in the package imports
+it, and only tests/test_pallas_kernels.py touches it (interpret-mode
+equivalence, preserving the numerical record). Do not dispatch to it.
+The shipped remedy is the space-to-depth layout (ops/s2d.py); the
+shipped per-client-training kernel is ops/fused_train.py.
+
+Original design notes follow.
+
+Per-client-weight fused stem conv as a Pallas TPU kernel.
 
 The engine's hot op is the SimpleCNN stem under the client vmap: every
 client trains its OWN weights, so XLA lowers the stacked conv as ONE
@@ -35,6 +48,9 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Falsified kernel family: nothing is exported (see module banner).
+__all__: list = []
 
 H = W = 28
 CH = 8

@@ -130,7 +130,6 @@ def pack_params(params: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     b_fc1 = params["Dense_0"]["bias"].astype(jnp.float32)
     w_fc2 = params["Dense_1"]["kernel"].astype(jnp.float32)  # [128,10]
     b_fc2 = params["Dense_1"]["bias"].astype(jnp.float32)
-    cin = k_stem.shape[2] * 4  # s2d block channels
 
     taps = _stem_taps(k_stem)                    # [4g, 4t, cin, 32]
     w_stem = jnp.zeros((4, 4 * L0, L0), jnp.float32)

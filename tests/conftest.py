@@ -28,6 +28,28 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The `fast` tier: a < 3-minute (warm compile cache) core gate covering the
+# engine, defenses, attacks, kernel layout algebra, and one sharded-round
+# smoke test. Run with `pytest -m fast`; the full 300-test suite exceeds
+# 10 minutes on the 8-virtual-device CPU platform (compile-dominated).
+_FAST_MODULES = {
+    "test_attacks",
+    "test_defenses",
+    "test_metrics",
+    "test_smoke",
+    "test_s2d",
+    "test_fused_train",
+}
+_FAST_TESTS = {"test_sharded_round_matches_engine"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.function.__name__ if hasattr(item, "function") else ""
+        if (item.module.__name__ in _FAST_MODULES
+                or name in _FAST_TESTS):
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture(scope="session")
 def rng():
