@@ -52,6 +52,13 @@ class ExperimentConfig:
     weight_decay: float = 0.0
     clip_norm: float = 1.0  # reference clips grads at 1.0 (run_experiments.py:231)
     augment: str = "none"  # on-device train-time augmentation (flip/crop)
+    # Per-round lr scale: "constant" (the reference's only mode) or
+    # "cosine" (linear warmup over warmup_rounds, cosine decay to 0 at
+    # num_rounds). Beyond-reference knob for long from-scratch runs.
+    lr_schedule: str = "constant"
+    warmup_rounds: int = 0
+    # Label smoothing on the local CE loss (0 = reference's plain CE).
+    label_smoothing: float = 0.0
     # FedProx proximal coefficient on local training (0 = plain FedAvg,
     # the reference's only mode); see rounds/engine.py TrainSpec.
     fedprox_mu: float = 0.0

@@ -190,6 +190,10 @@ class ExperimentRunner:
             augment=config.augment,
             fedprox_mu=config.fedprox_mu,
             frozen_prefixes=frozen_prefixes,
+            label_smoothing=config.label_smoothing,
+            lr_schedule=config.lr_schedule,
+            warmup_rounds=config.warmup_rounds,
+            schedule_rounds=config.num_rounds,
         )
         from multimodal_fl_security_tpu.rounds.server_opt import (
             make_server_optimizer,
@@ -282,7 +286,8 @@ class ExperimentRunner:
             )
         for r in range(start_round, config.num_rounds):
             rkey = jax.random.fold_in(round_key, r)
-            params, round_metrics = engine.run_round(params, rkey)
+            params, round_metrics = engine.run_round(params, rkey,
+                                                     round_idx=r)
             totals, _ = eval_fn(params, eval_batches)
             # ONE batched device->host transfer for every per-round scalar
             # (device_get issues all copies async, then gathers): each

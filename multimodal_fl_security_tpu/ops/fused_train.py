@@ -1,18 +1,22 @@
 """Fused local-training megakernel for SimpleCNN on TPU (Pallas/Mosaic).
 
-One client's ENTIRE local training — every SGD step of every epoch —
-runs inside a single Pallas kernel over grid ``(C, S)``: weights and
-momentum live in VMEM scratch that persists across the S dimension, so
-per-client parameters are read from HBM once per ROUND (and written
-once) instead of twice per STEP. That removes the cost the
-block-grouping bench isolated as the true price of per-client-weight
-training — distinct-weight HBM traffic — and the per-op dispatch floor
-(docs/performance.md "Feasible (round 3, probed)"; every op form used
-here passed `benchmarks/mosaic_probe.py` on the real toolchain).
+The design: one client's ENTIRE local training — every SGD step of
+every epoch — runs inside a single Pallas kernel over grid ``(C, S)``:
+weights and momentum live in VMEM scratch that persists across the S
+dimension, so per-client parameters are read from HBM once per ROUND
+(and written once) instead of twice per STEP. That removes the cost
+the block-grouping bench isolated as the true price of per-client-
+weight training — distinct-weight HBM traffic — and the per-op
+dispatch floor (docs/performance.md "Feasible (round 3, probed)";
+every op form used here passed `benchmarks/mosaic_probe.py` on the
+real toolchain). This module holds the packed layout algebra, the
+pure-JAX mirror of the kernel's training loop (the testable oracle),
+and the kernel itself (ops/fused_kernel.py hosts the pallas_call).
 
 Scope: the north-star bench workload — SimpleCNN (reference
-src/models/simple_cnn.py:13-76 architecture; 421,642 params at
-28x28x8 / 10 classes) on the space-to-depth resident layout
+src/models/simple_cnn.py:13-76 architecture; 423,658 tensor params at
+the zero-padded 28x28x8 bench shape — 421,642 logical at 28x28x1 —
+10 classes) on the space-to-depth resident layout
 (ops/s2d.py), B=32, SGD momentum 0.9 + global-norm clip 1.0, exactly
 the optimizer chain of rounds/engine.py::make_optimizer.
 
@@ -243,6 +247,24 @@ def unpack_blocks(x: jnp.ndarray) -> jnp.ndarray:
     return v[..., :WB, :]
 
 
+def pack_pooled(x: jnp.ndarray) -> jnp.ndarray:
+    """Logical pooled map [..., 7, 7, 64] -> the packed layout of h3
+    [..., 28, 128]: row r = i*4 + jq, lanes s*64 + ci for j' = jq*2 + s
+    (the (jq=3, s=1) slot is a hole — same packing as w_fc1's rows).
+    Used to carry logical-space dropout masks into mirror_forward."""
+    lead = x.shape[:-3]
+    out = jnp.zeros(lead + (28, 128), x.dtype)
+    for i in range(7):
+        for jq in range(4):
+            for s in range(2):
+                jp = jq * 2 + s
+                if jp >= 7:
+                    continue
+                out = out.at[..., i * 4 + jq, s * 64:s * 64 + 64].set(
+                    x[..., i, jp, :])
+    return out
+
+
 # ===================================================================
 # Pure-JAX mirror of the kernel algorithm (the CPU-testable oracle)
 # ===================================================================
@@ -353,3 +375,138 @@ def mirror_forward(pk: Dict[str, jnp.ndarray], xblk: jnp.ndarray,
     # ---- head (f32 like the flax model's Dense_1)
     return (h4.astype(jnp.float32) @ pk["w_fc2"]
             + pk["b_fc2"]).astype(jnp.float32)
+
+
+# ===================================================================
+# Packed-space SGD: gradient consolidation + the mirror training loop
+# ===================================================================
+#
+# ``pack_params`` is a LINEAR map P from the flax pytree to the kernel
+# tensors; embedded weight copies and structurally-zero slots mean P is
+# injective but not surjective. AD of the packed loss gives per-copy
+# cotangents g_packed; the true gradient of the logical weights is
+# P^T g_packed ("fold"), and the only packed-space update that keeps
+# every copy equal to its logical value is
+#
+#     packed' = packed + P(delta_logical)
+#
+# i.e. the optimizer (clip -> momentum -> lr) runs in LOGICAL space —
+# also what makes the global-norm clip count each logical weight
+# exactly once. ``consolidate_grads`` = P P^T is the projection of raw
+# packed cotangents onto consistently-tied gradients (every copy slot
+# holds the consolidated value, structural zeros stay zero). The Pallas
+# kernel implements P / P^T with constant selector matmuls; here they
+# are jax.vjp of pack_params, so the mirror defines the semantics the
+# kernel must match.
+
+
+def fold_grads(g_packed: Dict[str, jnp.ndarray],
+               like: Dict[str, Any]) -> Dict[str, Any]:
+    """P^T: packed cotangents -> logical flax-pytree gradients.
+
+    Sums every embedded copy's contribution into its logical slot and
+    drops structurally-zero slots. ``like`` supplies the pytree
+    structure/shapes (values unused: pack_params is linear)."""
+    _, vjp = jax.vjp(pack_params, like)
+    (g,) = vjp(jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32), g_packed))
+    return jax.tree_util.tree_map(
+        lambda a, b: a.astype(jnp.float32).reshape(b.shape), g, like)
+
+
+def consolidate_grads(g_packed: Dict[str, jnp.ndarray],
+                      like: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """P P^T: raw packed cotangents -> consolidated packed gradients.
+
+    After this, every embedded copy slot holds the full (summed)
+    logical gradient and every structurally-zero slot is exactly zero —
+    the invariant ``unpack_params`` relies on. (Not idempotent: P^T P
+    is the copy-multiplicity diagonal, so consolidate twice and each
+    logical gradient is multiplied by its copy count — fold once, pack
+    once.)"""
+    return pack_params(fold_grads(g_packed, like))
+
+
+def _logical_global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(sum(
+        jnp.sum(jnp.square(x.astype(jnp.float32)))
+        for x in jax.tree_util.tree_leaves(tree)))
+
+
+def packed_sgd_step(pk: Dict[str, jnp.ndarray], g_packed, momentum_tree,
+                    like, lr: float, momentum: float = 0.9,
+                    clip_norm: float = 1.0):
+    """ONE SGD step applied in packed space; returns (pk', momentum').
+
+    Exactly rounds/engine.py::make_optimizer's chain (clip_by_global_norm
+    -> trace(momentum) -> scale(-lr)) run on the folded logical
+    gradients, with the delta re-packed. ``momentum_tree`` is a logical
+    pytree (the kernel keeps it as packed scratch; same values)."""
+    g = fold_grads(g_packed, like)
+    if clip_norm and clip_norm > 0:
+        norm = _logical_global_norm(g)
+        scale = clip_norm / jnp.maximum(norm, clip_norm)
+        g = jax.tree_util.tree_map(lambda x: x * scale, g)
+    new_mom = jax.tree_util.tree_map(
+        lambda gi, mi: gi + momentum * mi, g, momentum_tree)
+    delta = jax.tree_util.tree_map(lambda m: -lr * m, new_mom)
+    new_pk = jax.tree_util.tree_map(
+        lambda a, b: a + b, pk, pack_params(delta))
+    return new_pk, new_mom
+
+
+def packed_ce(logits: jnp.ndarray, onehot: jnp.ndarray,
+              bmask: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean CE on packed logits [B, 128] (lanes >= NCLS junk).
+
+    Same value as engine.cross_entropy on the first NCLS lanes."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    zm = jnp.where(lanes < NCLS, logits.astype(jnp.float32), -1e30)
+    logp = zm - jax.scipy.special.logsumexp(zm, axis=1, keepdims=True)
+    nll = -jnp.sum(onehot * logp, axis=1)
+    return jnp.sum(nll * bmask) / jnp.maximum(jnp.sum(bmask), 1.0)
+
+
+def mirror_local_train(params: Dict[str, Any], xblk: jnp.ndarray,
+                       onehot: jnp.ndarray, bmask: jnp.ndarray,
+                       lr: float, momentum: float = 0.9,
+                       clip_norm: float = 1.0, local_epochs: int = 1,
+                       dropout_masks=None,
+                       compute_dtype: Any = jnp.float32) -> Dict[str, Any]:
+    """The kernel's FULL local-training loop in pure JAX (the oracle).
+
+    Streams batches in resident order (epoch-repeated, no shuffle),
+    which is the kernel's batch schedule. ``xblk`` [N, 60, 128] packed
+    blocks, ``onehot`` [N, 128] (lanes >= NCLS zero), ``bmask`` [N].
+    ``dropout_masks`` = (m1 [S, B, 28, 128], m2 [S, B, 128]) pre-scaled
+    by 1/keep, indexed by global step — None disables dropout (the
+    kernel regenerates masks from the TPU PRNG instead; see module
+    docstring). Returns the updated flax pytree."""
+    n = xblk.shape[0]
+    steps = n // B
+    pk = pack_params(params)
+    mom = jax.tree_util.tree_map(
+        lambda x: jnp.zeros_like(x, jnp.float32), params)
+
+    def step_fn(carry, s):
+        pk, mom = carry
+        i = (s % steps) * B
+        xb = jax.lax.dynamic_slice_in_dim(xblk, i, B, 0)
+        oh = jax.lax.dynamic_slice_in_dim(onehot, i, B, 0)
+        bm = jax.lax.dynamic_slice_in_dim(bmask, i, B, 0)
+        dm = (None if dropout_masks is None
+              else (dropout_masks[0][s], dropout_masks[1][s]))
+
+        def loss(pk):
+            logits = mirror_forward(pk, xb, dropout_masks=dm,
+                                    compute_dtype=compute_dtype)
+            return packed_ce(logits, oh, bm)
+
+        g_packed = jax.grad(loss)(pk)
+        pk, mom = packed_sgd_step(pk, g_packed, mom, params, lr,
+                                  momentum, clip_norm)
+        return (pk, mom), None
+
+    (pk, _), _ = jax.lax.scan(
+        step_fn, (pk, mom), jnp.arange(local_epochs * steps))
+    return unpack_params(pk, params)

@@ -59,12 +59,47 @@ def make_optimizer(learning_rate: float, momentum: float = 0.9,
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
-                  mask: jnp.ndarray) -> jnp.ndarray:
-    """Mean CE over real samples (padding masked out)."""
+                  mask: jnp.ndarray,
+                  smoothing: float = 0.0) -> jnp.ndarray:
+    """Mean CE over real samples (padding masked out).
+
+    ``smoothing`` > 0 mixes the one-hot target with the uniform
+    distribution (standard label smoothing): loss = (1-s)*NLL(y) +
+    s*mean_k(-log p_k). The reference trains with plain CE only; the
+    smoothing knob exists for the from-scratch CUB-200 baseline."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32))
     nll = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    if smoothing and smoothing > 0.0:
+        s = float(smoothing)
+        nll = (1.0 - s) * nll + s * (-jnp.mean(logp, axis=-1))
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(nll * mask) / denom
+
+
+def make_lr_schedule(kind: str = "constant", total_rounds: int = 0,
+                     warmup_rounds: int = 0):
+    """Per-ROUND learning-rate scale (multiplies the base lr).
+
+    Returns None for "constant" (no scaling anywhere), or a jnp-traceable
+    ``sched(round_idx) -> scale`` for "cosine": linear warmup over
+    ``warmup_rounds`` then a cosine decay to 0 at ``total_rounds``. The
+    reference trains at a constant lr; the schedule is a beyond-reference
+    knob for long from-scratch runs (CUB-200)."""
+    if kind in (None, "", "constant"):
+        return None
+    if kind == "cosine":
+        w = float(max(int(warmup_rounds), 0))
+        t = float(max(int(total_rounds), 1))
+
+        def sched(r):
+            r = jnp.asarray(r, jnp.float32)
+            warm = (r + 1.0) / jnp.maximum(w, 1.0)
+            prog = jnp.clip((r - w) / jnp.maximum(t - w, 1.0), 0.0, 1.0)
+            cos = 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
+            return jnp.where(r < w, warm, cos)
+
+        return sched
+    raise ValueError(f"unknown lr_schedule: {kind!r}")
 
 
 @dataclass
@@ -95,6 +130,14 @@ class TrainSpec:
     #: steps per iteration — more fusion surface at the cost of compile
     #: time). 1 = plain scan.
     scan_unroll: int = 1
+    #: label smoothing coefficient for the local CE loss (0 = the
+    #: reference's plain CE).
+    label_smoothing: float = 0.0
+    #: per-round lr scale: "constant" | "cosine" (linear warmup over
+    #: ``warmup_rounds`` rounds, cosine decay to 0 at ``schedule_rounds``).
+    lr_schedule: str = "constant"
+    warmup_rounds: int = 0
+    schedule_rounds: int = 0
 
 
 def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
@@ -142,7 +185,8 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
         logits = model.apply(
             {"params": params}, batch, train=True, rngs={"dropout": dropout_key}
         )
-        loss = cross_entropy(logits, batch["label"], bmask)
+        loss = cross_entropy(logits, batch["label"], bmask,
+                             smoothing=spec.label_smoothing)
         if mu > 0.0:
             # FedProx proximal term; ``anchor`` is the round-start global
             # (not differentiated — it enters as a plain argument).
@@ -156,7 +200,11 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
             loss = loss + 0.5 * mu * sq
         return loss
 
-    def local_train(params, data, mask, key):
+    def local_train(params, data, mask, key, lr_scale=1.0):
+        # ``lr_scale`` multiplies the base learning rate for this whole
+        # local run (the round engine passes the lr-schedule value; the
+        # optimizer chain ends in scale(-lr), so scaling the emitted
+        # update is exactly lr -> lr * lr_scale).
         anchor = params  # round-start global = the FedProx anchor
         opt_state = opt.init(params)
 
@@ -178,6 +226,9 @@ def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
                 )
                 grads = freeze_mask(grads)
                 updates, opt_state = opt.update(grads, opt_state, params)
+                updates = jax.tree_util.tree_map(
+                    lambda u: u * lr_scale, updates
+                )
                 updates = freeze_mask(updates)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
@@ -295,6 +346,13 @@ class RoundEngine:
         self.server_opt = server_opt
         self._server_opt_state = None
 
+        # Per-round lr scale (None = constant). run_round evaluates it
+        # host-side from its round_idx argument; run_rounds evaluates it
+        # inside the scan body.
+        self._lr_schedule = make_lr_schedule(
+            spec.lr_schedule, spec.schedule_rounds, spec.warmup_rounds
+        )
+
         self._round_fn = jax.jit(self._build_round_fn())
         self._detect_fn = None  # built lazily, once, by detect_malicious
         self._multi_fn = None   # built lazily, once, by run_rounds
@@ -337,18 +395,18 @@ class RoundEngine:
         divide (detection runs the FULL client axis even under
         subsampling) falls back to the plain vmap.
         """
-        vtrain = jax.vmap(self._local_train, in_axes=(None, 0, 0, 0))
+        vtrain = jax.vmap(self._local_train, in_axes=(None, 0, 0, 0, None))
         ch = self.client_chunk
 
-        def train_all(params, arrays, mask, ckeys):
+        def train_all(params, arrays, mask, ckeys, lr_scale=1.0):
             rows = mask.shape[0]
             if ch is None or rows <= ch or rows % ch != 0:
-                return vtrain(params, arrays, mask, ckeys)
+                return vtrain(params, arrays, mask, ckeys, lr_scale)
             n_chunks = rows // ch
 
             def chunk(xs):
                 a, m, k = xs
-                return vtrain(params, a, m, k)
+                return vtrain(params, a, m, k, lr_scale)
 
             stacked, losses = jax.lax.map(chunk, (
                 {k: v.reshape((n_chunks, ch) + v.shape[1:])
@@ -377,7 +435,7 @@ class RoundEngine:
         train_all = self._make_vtrain()
 
         def round_fn(params, key, arrays, mask, counts, malicious_mask,
-                     defense_state, server_opt_state):
+                     defense_state, server_opt_state, lr_scale=1.0):
             global_flat = flatten_tree(params)
             if k_sample is not None:
                 # Sample a participant subset (without replacement) and
@@ -393,7 +451,9 @@ class RoundEngine:
             else:
                 client_ids = jnp.arange(num_clients)
             ckeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(client_ids)
-            new_stacked, client_losses = train_all(params, arrays, mask, ckeys)
+            new_stacked, client_losses = train_all(
+                params, arrays, mask, ckeys, lr_scale
+            )
 
             updates = flatten_stacked(new_stacked)  # [C, D]
 
@@ -465,11 +525,15 @@ class RoundEngine:
             dim = int(flatten_tree(params).shape[0])
             self._server_opt_state = self.server_opt.init_state(dim)
 
-    def run_round(self, params, key) -> Tuple[Any, Dict[str, jnp.ndarray]]:
+    def run_round(self, params, key, round_idx: int = 0
+                  ) -> Tuple[Any, Dict[str, jnp.ndarray]]:
         self._ensure_defense_state(params)
+        scale = (jnp.float32(1.0) if self._lr_schedule is None
+                 else jnp.float32(self._lr_schedule(round_idx)))
         new_params, metrics, new_state, so_state = self._round_fn(
             params, key, self.arrays, self.mask, self.counts,
             self.malicious_mask, self._defense_state, self._server_opt_state,
+            scale,
         )
         if self._defense_stateful:
             self._defense_state = new_state
@@ -499,6 +563,7 @@ class RoundEngine:
             # at C=100) on every invocation. jit's own cache handles
             # distinct static n values.
             round_fn = self._build_round_fn()
+            schedule = self._lr_schedule
 
             @partial(jax.jit, static_argnames=("n",))
             def multi(params, key, arrays, mask, counts, malicious, dstate,
@@ -506,8 +571,10 @@ class RoundEngine:
                 def body(carry, r):
                     p, st, so = carry
                     rkey = jax.random.fold_in(key, r)
+                    scale = 1.0 if schedule is None else schedule(r)
                     new_p, metrics, new_st, new_so = round_fn(
-                        p, rkey, arrays, mask, counts, malicious, st, so
+                        p, rkey, arrays, mask, counts, malicious, st, so,
+                        scale,
                     )
                     return (new_p, new_st, new_so), metrics
 

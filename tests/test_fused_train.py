@@ -1,9 +1,11 @@
 """Fused local-training megakernel: layout + mirror equivalence tests.
 
-The Pallas kernel (ops/fused_train.py) is verified in two hops:
-CPU tests here prove the packed-layout algebra (parameter embedding,
-shift/mask convolution taps, pool compaction, fc1 packing) equals the
-flax SimpleCNN; a TPU-marked test proves the kernel equals the mirror.
+The Pallas kernel is verified in two hops: CPU tests here prove the
+packed-layout algebra (parameter embedding, shift/mask convolution
+taps, pool compaction, fc1 packing) AND the packed-space SGD loop
+(fold/consolidate + clip + momentum + re-pack) equal the flax
+SimpleCNN + optax chain; the TPU kernel-vs-mirror equivalence test
+lives with the kernel (tests/test_fused_kernel.py).
 """
 
 import jax
@@ -80,3 +82,163 @@ def test_mirror_grads_equal_flax(setup):
                     jax.tree_util.tree_leaves(g_out)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_fold_grads_equals_flax_grads(setup):
+    """P^T of raw packed cotangents == the flax gradient (the identity
+    the kernel's selector-matmul fold must reproduce)."""
+    model, blocks, params = setup
+    labels = jax.random.randint(jax.random.PRNGKey(3), (32,), 0, 10)
+    onehot = jax.nn.one_hot(labels, 128)
+    bmask = jnp.ones((32,))
+
+    def loss_packed(pk):
+        return ft.packed_ce(ft.mirror_forward(pk, ft.pack_blocks(blocks)),
+                            onehot, bmask)
+
+    def loss_flax(p):
+        logits = model.apply({"params": p}, {"image_s2d": blocks},
+                             train=False)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+
+    g_packed = jax.jit(jax.grad(loss_packed))(ft.pack_params(params))
+    g_logical = jax.jit(lambda g: ft.fold_grads(g, params))(g_packed)
+    g_ref = jax.jit(jax.grad(loss_flax))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_logical)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_consolidate_grads_invariants(setup):
+    """After consolidation every embedded copy is equal (unpack of the
+    consolidated tensor round-trips through pack) and structural zeros
+    stay zero. (P P^T is NOT idempotent — P^T P is the copy-multiplicity
+    diagonal — so no projection property is asserted.)"""
+    _, blocks, params = setup
+    labels = jax.random.randint(jax.random.PRNGKey(4), (32,), 0, 10)
+    onehot = jax.nn.one_hot(labels, 128)
+    bmask = jnp.ones((32,))
+
+    def loss_packed(pk):
+        return ft.packed_ce(ft.mirror_forward(pk, ft.pack_blocks(blocks)),
+                            onehot, bmask)
+
+    g_raw = jax.jit(jax.grad(loss_packed))(ft.pack_params(params))
+    g_con = jax.jit(lambda g: ft.consolidate_grads(g, params))(g_raw)
+    # copies-equal: pack(unpack(g_con)) == g_con exactly
+    rt = ft.pack_params(ft.unpack_params(g_con, params))
+    for k in g_con:
+        np.testing.assert_allclose(np.asarray(rt[k]), np.asarray(g_con[k]),
+                                   rtol=1e-6, atol=1e-7)
+    # structural zeros: fc2 cols >= 10, fc1 (jq=3, s=1) hole
+    assert float(jnp.max(jnp.abs(g_con["w_fc2"][:, 10:]))) == 0.0
+    hole = g_con["w_fc1"][3::4, 64:, :]
+    assert float(jnp.max(jnp.abs(hole))) == 0.0
+
+
+def _flax_sgd_reference(model, params, xblk_steps, label_steps, mask_steps,
+                        lr, momentum=0.9, clip_norm=1.0):
+    """The engine's exact optimizer chain run in flax space, batches in
+    the given order (rounds/engine.py::make_optimizer + cross_entropy)."""
+    import optax
+
+    from multimodal_fl_security_tpu.rounds.engine import (
+        cross_entropy,
+        make_optimizer,
+    )
+
+    opt = make_optimizer(lr, momentum, 0.0, clip_norm)
+    state = opt.init(params)
+    for xb, lb, bm in zip(xblk_steps, label_steps, mask_steps):
+        def loss(p):
+            logits = model.apply({"params": p}, {"image_s2d": xb},
+                                 train=False)
+            return cross_entropy(logits, lb, bm)
+
+        grads = jax.grad(loss)(params)
+        updates, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    return params
+
+
+def test_packed_sgd_matches_flax_sgd(setup):
+    """THE kernel-critical property (ADVICE round 3, medium): a full
+    multi-step SGD run in PACKED space (fold -> clip -> momentum ->
+    re-packed delta), then unpack, equals the same SGD run in flax
+    space with the engine's optax chain. Naive per-copy updates would
+    desync the embedded copies and fail this."""
+    model, _, params = setup
+    key = jax.random.PRNGKey(9)
+    n = 64  # 2 batches x 2 epochs = 4 steps
+    img = jax.random.normal(key, (n, 28, 28, 8))
+    blocks = space_to_depth(img)
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, 10)
+    bmask = jnp.ones((n,)).at[-8:].set(0.0)  # padded tail, engine-style
+
+    new_params = jax.jit(lambda p: ft.mirror_local_train(
+        p, ft.pack_blocks(blocks), jax.nn.one_hot(labels, 128), bmask,
+        lr=0.05, momentum=0.9, clip_norm=1.0, local_epochs=2))(params)
+
+    order = [slice(0, 32), slice(32, 64)] * 2  # resident order, 2 epochs
+    ref = _flax_sgd_reference(
+        model, params,
+        [blocks[s] for s in order],
+        [labels[s] for s in order],
+        [bmask[s] for s in order],
+        lr=0.05, momentum=0.9, clip_norm=1.0)
+
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref),
+            jax.tree_util.tree_leaves_with_path(new_params)):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6,
+                                   err_msg=str(ka))
+
+
+def test_mirror_forward_bf16(setup):
+    """Mirror's bf16 compute path vs the flax bf16 model (the engine's
+    dtype split: bf16 GEMMs, f32 master weights) — loose tolerance."""
+    _, blocks, params = setup
+    model16 = SimpleCNN(num_classes=10, dtype=jnp.bfloat16)
+    ref = model16.apply({"params": params}, {"image_s2d": blocks},
+                        train=False)
+    pk = jax.jit(ft.pack_params)(params)
+    out = jax.jit(lambda p, x: ft.mirror_forward(
+        p, x, compute_dtype=jnp.bfloat16))(pk, ft.pack_blocks(blocks))
+    np.testing.assert_allclose(np.asarray(out)[:, :10], np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_mirror_forward_dropout_masks(setup):
+    """Mirror with explicit packed dropout masks == the logical model
+    with the SAME masks (flax train=True semantics: mask pre-scaled by
+    1/keep, applied after flatten and after the hidden relu)."""
+    model, blocks, params = setup
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    m1_log = (jax.random.bernoulli(k1, 0.75, (32, 7, 7, 64))
+              .astype(jnp.float32) / 0.75)
+    m2 = (jax.random.bernoulli(k2, 0.5, (32, 128))
+          .astype(jnp.float32) / 0.5)
+
+    # logical-space oracle with the same masks: conv part from the
+    # captured Conv_0 output (trusted: eval equivalence is proven),
+    # then relu -> pool -> flatten -> m1 -> fc1 -> relu -> m2 -> fc2.
+    _, inter = model.apply({"params": params}, {"image_s2d": blocks},
+                           train=False, capture_intermediates=True)
+    conv_out = inter["intermediates"]["Conv_0"]["__call__"][0]
+    h = jax.nn.relu(conv_out)
+    h = h.reshape(32, 7, 2, 7, 2, 64).max(axis=(2, 4))
+    flat = h.reshape(32, 7 * 7 * 64) * m1_log.reshape(32, -1)
+    h4 = jax.nn.relu(flat @ params["Dense_0"]["kernel"]
+                     + params["Dense_0"]["bias"]) * m2
+    ref = (h4 @ params["Dense_1"]["kernel"] + params["Dense_1"]["bias"])
+
+    pk = jax.jit(ft.pack_params)(params)
+    out = ft.mirror_forward(pk, ft.pack_blocks(blocks),
+                            dropout_masks=(ft.pack_pooled(m1_log), m2))
+    np.testing.assert_allclose(np.asarray(out)[:, :10], np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
