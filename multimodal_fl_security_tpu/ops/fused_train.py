@@ -280,29 +280,29 @@ def _roll(x, shift, axis):
     return jnp.roll(x, shift, axis)
 
 
-def _shift_bj_plus(x, lanes_per_jr):
+def _shift_bj_plus(x, lanes_per_jr, roll=_roll):
     """Value at (row, bj+1) in (rows=(i,jq), lanes=(jr,ch)) packing.
 
     jr+1 within the 128*k lane block for jr<3; the jr=3 group carries
     into jq+1 = row+1. ``lanes_per_jr`` = 32 (stem) or 64 (conv2)."""
     nl = x.shape[-1]
-    base = _roll(x, -lanes_per_jr, -1)
-    fix = _roll(base, -1, -2)
+    base = roll(x, -lanes_per_jr, -1)
+    fix = roll(base, -1, -2)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.where(lane < nl - lanes_per_jr, base, fix)
 
 
-def _shift_bj_minus(x, lanes_per_jr):
+def _shift_bj_minus(x, lanes_per_jr, roll=_roll):
     """Value at (row, bj-1); jr=0 carries into jq-1 = row-1."""
-    base = _roll(x, lanes_per_jr, -1)
-    fix = _roll(base, 1, -2)
+    base = roll(x, lanes_per_jr, -1)
+    fix = roll(base, 1, -2)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     return jnp.where(lane >= lanes_per_jr, base, fix)
 
 
-def _shift_bi(x, d):
+def _shift_bi(x, d, roll=_roll):
     """Value at (bi+d, same jq/lanes): rows move by 4*d."""
-    return _roll(x, -4 * d, -2)
+    return roll(x, -4 * d, -2)
 
 
 def _valid_mask(shape, lanes_per_jr, limit=14):
@@ -315,29 +315,37 @@ def _valid_mask(shape, lanes_per_jr, limit=14):
     return ((i < limit) & (j < limit)).astype(jnp.float32)
 
 
-def mirror_forward(pk: Dict[str, jnp.ndarray], xblk: jnp.ndarray,
-                   dropout_masks: Tuple[jnp.ndarray, jnp.ndarray] | None
-                   = None,
-                   compute_dtype: Any = jnp.float32) -> jnp.ndarray:
+def _dot3d(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """[B, R, K] x [K, F] -> [B, R, F] (kernel overrides with a
+    custom_vjp that steers AD to Mosaic-probed contraction forms)."""
+    return jnp.einsum("brk,kf->brf", a, w)
+
+
+def _bdot(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """[R, B, K] x [R, K, F] -> [R, B, F] batched over the major axis."""
+    return jnp.einsum("rbk,rkf->rbf", a, w)
+
+
+def forward_impl(pk: Dict[str, jnp.ndarray], xblk: jnp.ndarray,
+                 dropout_masks=None, compute_dtype: Any = jnp.float32,
+                 roll=_roll, dot3d=_dot3d, bdot=_bdot) -> jnp.ndarray:
     """Packed-layout SimpleCNN forward: xblk [B, 60, 128] -> logits
     [B, 128] (lanes >= 10 are junk; mask downstream).
 
-    ``dropout_masks`` = (m1 [B,28,128] on the pooled activations,
-    m2 [B,128] on the hidden layer), already scaled by 1/keep — None
-    for eval. Numerically identical to
-    SimpleCNN(...).apply on the s2d path (tested in
-    tests/test_fused_train.py)."""
+    Parametrized over the three op families whose Pallas/Mosaic
+    spellings differ from the jnp ones (roll, 3D-by-2D dot, batched
+    dot) so the SAME code is both the CPU-testable mirror and the
+    kernel body's forward."""
     cd = compute_dtype
     x = xblk.astype(cd)
 
     # ---- stem: 4 taps x 4 pool groups, block-diag GEMMs, max, relu
     a00 = x
-    a01 = _shift_bj_plus(x, 32)
-    a10 = _shift_bi(x, 1)
-    a11 = _shift_bj_plus(a10, 32)
+    a01 = _shift_bj_plus(x, 32, roll)
+    a10 = _shift_bi(x, 1, roll)
+    a11 = _shift_bj_plus(a10, 32, roll)
     acat = jnp.concatenate([a00, a01, a10, a11], axis=-1)   # [B,60,512]
-    zs = [jnp.einsum("brk,kf->brf", acat, pk["w_stem"][g].astype(cd))
-          for g in range(4)]
+    zs = [dot3d(acat, pk["w_stem"][g].astype(cd)) for g in range(4)]
     z = jnp.maximum(jnp.maximum(zs[0], zs[1]), jnp.maximum(zs[2], zs[3]))
     h1 = jax.nn.relu(z + pk["b_stem"].astype(cd))
     h1 = h1 * _valid_mask(h1.shape, 32).astype(cd)          # [B,60,128]
@@ -348,26 +356,26 @@ def mirror_forward(pk: Dict[str, jnp.ndarray], xblk: jnp.ndarray,
         di, dj = t // 3 - 1, t % 3 - 1
         a = h1
         if di:
-            a = _shift_bi(a, di)
+            a = _shift_bi(a, di, roll)
         if dj == 1:
-            a = _shift_bj_plus(a, 32)
+            a = _shift_bj_plus(a, 32, roll)
         elif dj == -1:
-            a = _shift_bj_minus(a, 32)
-        z2 = z2 + jnp.einsum("brk,kf->brf", a, pk["w_cv2"][t].astype(cd))
+            a = _shift_bj_minus(a, 32, roll)
+        z2 = z2 + dot3d(a, pk["w_cv2"][t].astype(cd))
     h2 = jax.nn.relu(z2 + pk["b_cv2"].astype(cd))
     h2 = h2 * _valid_mask(h2.shape, 64).astype(cd)          # [B,60,256]
 
     # ---- 2x2 max pool: rows by sublane reshape, lanes by roll+max
     pr = h2[..., :56, :].reshape(h2.shape[:-2] + (7, 2, 4, 256)).max(-3)
     pr = pr.reshape(h2.shape[:-2] + (28, 256))
-    jm = jnp.maximum(pr, _roll(pr, -64, -1))
+    jm = jnp.maximum(pr, roll(pr, -64, -1))
     h3 = jnp.concatenate([jm[..., 0:64], jm[..., 128:192]], axis=-1)
     if dropout_masks is not None:
         h3 = h3 * dropout_masks[0].astype(cd)               # [B,28,128]
 
     # ---- fc1 as a batched dot over row positions, then reduce
     t3 = jnp.swapaxes(h3, -3, -2)                           # [28,B,128]
-    part = jnp.einsum("rbk,rkf->rbf", t3, pk["w_fc1"].astype(cd))
+    part = bdot(t3, pk["w_fc1"].astype(cd))
     h4 = jax.nn.relu(part.sum(-3) + pk["b_fc1"].astype(cd))  # [B,128]
     if dropout_masks is not None:
         h4 = h4 * dropout_masks[1].astype(cd)
@@ -375,6 +383,20 @@ def mirror_forward(pk: Dict[str, jnp.ndarray], xblk: jnp.ndarray,
     # ---- head (f32 like the flax model's Dense_1)
     return (h4.astype(jnp.float32) @ pk["w_fc2"]
             + pk["b_fc2"]).astype(jnp.float32)
+
+
+def mirror_forward(pk: Dict[str, jnp.ndarray], xblk: jnp.ndarray,
+                   dropout_masks: Tuple[jnp.ndarray, jnp.ndarray] | None
+                   = None,
+                   compute_dtype: Any = jnp.float32) -> jnp.ndarray:
+    """The pure-jnp spelling of forward_impl (the CPU-testable oracle).
+
+    ``dropout_masks`` = (m1 [B,28,128] on the pooled activations,
+    m2 [B,128] on the hidden layer), already scaled by 1/keep — None
+    for eval. Numerically identical to SimpleCNN(...).apply on the s2d
+    path (tested in tests/test_fused_train.py)."""
+    return forward_impl(pk, xblk, dropout_masks=dropout_masks,
+                        compute_dtype=compute_dtype)
 
 
 # ===================================================================
