@@ -157,6 +157,30 @@ def build_engine(layout: str = None):
     return engine, params
 
 
+def logical_flops_per_round(num_clients: int = 100, samples: int = 600,
+                            local_epochs: int = 2) -> float:
+    """Analytic FLOPs per round of the LOGICAL north-star workload
+    (VERDICT r3 #3): per-sample fwd FLOPs of SimpleCNN at 28x28x1
+    (convs 2*K*K*Cin*Cout*H*W, dense 2*in*out), bwd ~ 2x fwd, plus the
+    Krum Gram matrix (2*C^2*d). Channel/lane padding (1->8 input
+    channels, 10->128 logit lanes) is overhead, not useful work, so it
+    is deliberately NOT counted — this makes the reported MFU the
+    fraction of peak doing the reference's arithmetic."""
+    conv1 = 2 * 3 * 3 * 1 * 32 * 28 * 28
+    conv2 = 2 * 3 * 3 * 32 * 64 * 14 * 14
+    fc1 = 2 * 3136 * 128
+    fc2 = 2 * 128 * 10
+    fwd = conv1 + conv2 + fc1 + fc2
+    train = 3.0 * fwd * num_clients * local_epochs * samples
+    d = 421_642  # SimpleCNN logical param count
+    krum = 2.0 * num_clients * num_clients * d
+    return train + krum
+
+
+# v5e chip peak: 197 TFLOP/s bf16 (public spec); the MFU denominator.
+PEAK_FLOPS = 197e12
+
+
 def main() -> None:
     import jax
 
@@ -179,6 +203,7 @@ def main() -> None:
 
     rounds_per_min = n_rounds / dt * 60.0
     baseline_rounds_per_min = 2.0  # reference: ~30 s/round (BASELINE.md)
+    mfu = logical_flops_per_round() * (n_rounds / dt) / PEAK_FLOPS
     print(
         json.dumps(
             {
@@ -186,6 +211,7 @@ def main() -> None:
                 "value": round(rounds_per_min, 3),
                 "unit": "rounds/min",
                 "vs_baseline": round(rounds_per_min / baseline_rounds_per_min, 3),
+                "mfu_logical": round(mfu, 5),
             }
         )
     )

@@ -89,10 +89,42 @@ def _load_attributes(root: str, image_ids, labels) -> Optional[np.ndarray]:
     return None
 
 
+def _corrupt_attributes(attrs: np.ndarray, image_ids, attr_noise: float,
+                        attr_dropout: float, attr_seed: int) -> np.ndarray:
+    """Per-image attribute corruption, keyed by (attr_seed, image_id) so
+    a given image's corruption is stable across splits/subsets. Flip
+    each binarized attribute with prob ``attr_noise`` (x -> 1-x), then
+    zero each with prob ``attr_dropout``."""
+    out = attrs.copy()
+    for i, img_id in enumerate(image_ids):
+        rng = np.random.default_rng([attr_seed, int(img_id)])
+        if attr_noise > 0.0:
+            flip = rng.random(out.shape[1]) < attr_noise
+            out[i] = np.where(flip, 1.0 - out[i], out[i])
+        if attr_dropout > 0.0:
+            drop = rng.random(out.shape[1]) < attr_dropout
+            out[i] = np.where(drop, 0.0, out[i])
+    return out.astype(attrs.dtype)
+
+
 @DATASETS.register("cub200", "cub200_multimodal")
 def load_cub200(split: str = "train", data_dir: Optional[str] = None,
                 image_size: int = 224, max_samples: Optional[int] = None,
-                with_attributes: bool = True, **_) -> Dataset:
+                with_attributes: bool = True, attr_noise: float = 0.0,
+                attr_dropout: float = 0.0, attr_seed: int = 0,
+                **_) -> Dataset:
+    """...
+
+    ``attr_noise`` / ``attr_dropout``: per-IMAGE attribute corruption —
+    flip each attribute bit with prob ``attr_noise`` and zero each with
+    prob ``attr_dropout``, drawn deterministically per image
+    (``attr_seed``). With the per-class fallback matrix (see module doc)
+    every image of a class otherwise carries an identical, perfectly
+    discriminative 312-dim signature, which makes the multimodal task
+    trivially separable (MTA 1.000) — these knobs restore the headroom
+    the reference's per-image labels would have had
+    (reference: src/utils/cub200_loader.py:139-158), so cross-modal
+    attack/defense contrasts measure the attack, not the fallback."""
     from PIL import Image
 
     root = _find_root(data_dir)
@@ -137,6 +169,9 @@ def load_cub200(split: str = "train", data_dir: Optional[str] = None,
     if with_attributes:
         attrs = _load_attributes(root, ids, labels)
         if attrs is not None:
+            if attr_noise > 0.0 or attr_dropout > 0.0:
+                attrs = _corrupt_attributes(attrs, ids, attr_noise,
+                                            attr_dropout, attr_seed)
             arrays["attributes"] = attrs
     return Dataset(arrays, 200, name="cub200",
                    meta={"normalized": True, "root": root})

@@ -57,11 +57,63 @@ def random_shift(key: jnp.ndarray, images: jnp.ndarray, max_shift: int = 2):
     return jax.vmap(crop)(padded, dy, dx)
 
 
+def random_resized_crop(key: jnp.ndarray, images: jnp.ndarray,
+                        min_scale: float = 0.35,
+                        max_scale: float = 1.0) -> jnp.ndarray:
+    """Per-sample random zoom-crop resized back to the input shape — the
+    device-side equivalent of torchvision RandomResizedCrop (reference:
+    src/utils/cub200_loader.py:199 uses RandomResizedCrop(224, scale=
+    (0.08, 1.0))). Crop AREA is sampled in [min_scale, max_scale] of the
+    image; position uniform within bounds. jit-safe: output shape is
+    static, the per-sample crop geometry rides through
+    jax.image.scale_and_translate's dynamic scale/translation arguments.
+    """
+    b, h, w, _ = images.shape
+    karea, kx, ky = jax.random.split(key, 3)
+    area = jax.random.uniform(karea, (b,), minval=min_scale, maxval=max_scale)
+    side = jnp.sqrt(area)                      # crop side fraction
+    # output = crop resized to (h, w): zoom factor 1/side >= 1
+    zoom = 1.0 / side
+    # crop top-left in [0, 1 - side] of the image, per sample
+    fx = jax.random.uniform(kx, (b,)) * (1.0 - side)
+    fy = jax.random.uniform(ky, (b,)) * (1.0 - side)
+
+    def one(img, z, ox, oy):
+        scale = jnp.stack([z, z])
+        # out_px = in_px * z + t  =>  t = -origin_px * z
+        trans = jnp.stack([-oy * h * z, -ox * w * z])
+        return jax.image.scale_and_translate(
+            img, (h, w, img.shape[-1]), (0, 1), scale, trans,
+            method="linear")
+
+    return jax.vmap(one)(images, zoom, fx, fy).astype(images.dtype)
+
+
+def random_erase(key: jnp.ndarray, images: jnp.ndarray,
+                 frac: float = 0.25, p: float = 0.5) -> jnp.ndarray:
+    """Per-sample cutout: zero a random (frac*H x frac*W) rectangle with
+    probability p (jit-safe iota masks, no dynamic shapes)."""
+    b, h, w, _ = images.shape
+    kx, ky, kp = jax.random.split(key, 3)
+    eh, ew = int(h * frac), int(w * frac)
+    y0 = jax.random.randint(ky, (b,), 0, h - eh + 1)
+    x0 = jax.random.randint(kx, (b,), 0, w - ew + 1)
+    on = jax.random.bernoulli(kp, p, (b,))
+    ys = jnp.arange(h)[None, :, None]
+    xs = jnp.arange(w)[None, None, :]
+    inside = ((ys >= y0[:, None, None]) & (ys < (y0 + eh)[:, None, None])
+              & (xs >= x0[:, None, None]) & (xs < (x0 + ew)[:, None, None]))
+    mask = jnp.where(on[:, None, None] & inside, 0.0, 1.0)
+    return images * mask[..., None].astype(images.dtype)
+
+
 def make_augment_fn(mode: str):
     """Batch augmentation for the training step: (key, batch) -> batch.
 
-    Pure and jit/vmap-safe; applied on device inside the local-training
-    scan (the reference ran torchvision augmentation on the host,
+    Modes: "flip", "crop", "crop_flip" (flip + small shift), "rrc_flip"
+    (random-resized-crop + flip), "rrc_flip_erase" (+ cutout). Pure and
+    jit/vmap-safe; applied on device inside the local-training scan (the
+    reference ran torchvision augmentation on the host,
     cub200_loader.py:192-216).
     """
     mode = (mode or "none").lower()
@@ -70,12 +122,18 @@ def make_augment_fn(mode: str):
 
     def fn(key, batch):
         images = batch["image"]
-        if mode in ("flip", "crop_flip"):
+        if mode in ("flip", "crop_flip", "rrc_flip", "rrc_flip_erase"):
             key, sub = jax.random.split(key)
             images = random_flip(sub, images)
         if mode in ("crop", "crop_flip"):
             key, sub = jax.random.split(key)
             images = random_shift(sub, images)
+        if mode in ("rrc_flip", "rrc_flip_erase"):
+            key, sub = jax.random.split(key)
+            images = random_resized_crop(sub, images)
+        if mode == "rrc_flip_erase":
+            key, sub = jax.random.split(key)
+            images = random_erase(sub, images)
         return dict(batch, image=images)
 
     return fn

@@ -88,6 +88,12 @@ def _normalize(x, shift, axis):
 
 def _pallas_roll(x, shift, axis):
     shift, axis = _normalize(x, shift, axis)
+    # Mosaic's tpu.dynamic_rotate only lowers for 32-bit element types
+    # ("Rotate with non-32-bit data", measured on-chip 2026-08-20 on the
+    # bf16 compute path). A roll is a pure permutation, so upcast ->
+    # roll -> downcast is bit-exact for bf16 (a subset of f32).
+    if x.dtype.itemsize != 4:
+        return pltpu.roll(x.astype(jnp.float32), shift, axis).astype(x.dtype)
     return pltpu.roll(x, shift, axis)
 
 
@@ -116,10 +122,21 @@ def _make_droll(impl):
 # double-contraction / one-shot-outer forms; see mosaic_probes.json)
 # ===================================================================
 
+def _dot_f32acc(a, b, dims):
+    """dot_general with an explicit f32 accumulator, output cast back to
+    the operand dtype. Mosaic's 'tpu.matmul' REQUIRES a 32-bit acc —
+    bf16 in/bf16 acc trips 'Expected matmul acc to be 32-bit' (measured
+    on-chip 2026-08-19). f32-acc-then-round is also exactly what XLA
+    does for bf16 dots, so the jnp mirror semantics are unchanged."""
+    out = jax.lax.dot_general(a, b, dims,
+                              preferred_element_type=jnp.float32)
+    return out.astype(a.dtype)
+
+
 @jax.custom_vjp
 def kdot3d(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """[B, R, K] x [K, F] -> [B, R, F] (probe: dot_3d_2d)."""
-    return jax.lax.dot_general(a, w, (((2,), (0,)), ((), ())))
+    return _dot_f32acc(a, w, (((2,), (0,)), ((), ())))
 
 
 def _kdot3d_fwd(a, w):
@@ -129,11 +146,11 @@ def _kdot3d_fwd(a, w):
 def _kdot3d_bwd(res, dz):
     a, w = res
     # da: contract the F dims — no transposes materialized.
-    da = jax.lax.dot_general(dz, w, (((2,), (1,)), ((), ())))
+    da = _dot_f32acc(dz, w, (((2,), (1,)), ((), ())))
     # dw: merge (B, R) into rows, contract rows (probe: wgrad_2d).
     bb, rr, kk = a.shape
     ff = w.shape[1]
-    dw = jax.lax.dot_general(
+    dw = _dot_f32acc(
         a.reshape(bb * rr, kk), dz.reshape(bb * rr, ff),
         (((0,), (0,)), ((), ())))
     return da, dw
@@ -146,7 +163,7 @@ kdot3d.defvjp(_kdot3d_fwd, _kdot3d_bwd)
 def kbdot(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """[R, B, K] x [R, K, F] -> [R, B, F] batched over the major axis
     (probe: batched_dot)."""
-    return jax.lax.dot_general(a, w, (((2,), (1,)), ((0,), (0,))))
+    return _dot_f32acc(a, w, (((2,), (1,)), ((0,), (0,))))
 
 
 def _kbdot_fwd(a, w):
@@ -155,12 +172,12 @@ def _kbdot_fwd(a, w):
 
 def _kbdot_bwd(res, dz):
     a, w = res
-    da = jax.lax.dot_general(dz, w, (((2,), (2,)), ((0,), (0,))))
+    da = _dot_f32acc(dz, w, (((2,), (2,)), ((0,), (0,))))
     # dw: the one-shot [R,B,K]x[R,B,F]->[R,K,F] outer form FAILED its
     # probe (scoped-VMEM stack alloc); R unrolled 2D wgrads are the
     # probed-safe spelling (probe: outer_wgrad_chunked).
     dw = jnp.stack([
-        jax.lax.dot_general(a[r], dz[r], (((0,), (0,)), ((), ())))
+        _dot_f32acc(a[r], dz[r], (((0,), (0,)), ((), ())))
         for r in range(a.shape[0])
     ])
     return da, dw
@@ -392,10 +409,14 @@ def fused_local_train(
             logits = forward_impl(wd, x, dropout_masks=masks,
                                   compute_dtype=cd, roll=droll,
                                   dot3d=kdot3d, bdot=kbdot)
-            bm = jnp.sum(oh, axis=1)
-            return packed_ce(logits, oh, bm)
+            bm = jnp.sum(oh, axis=1, keepdims=True)   # [B,1]; 1-D hits
+            return packed_ce(logits, oh, bm)          # a Mosaic relayout
 
-        g = jax.grad(jax.checkpoint(loss))(w)
+        # NOTE: jax.checkpoint (remat2) has no Mosaic lowering — measured
+        # on-chip 2026-08-19 ("Unimplemented primitive ... remat2"). AD
+        # residuals stay in VMEM instead; interpret mode keeps remat so
+        # the CPU test exercises the cheaper-memory spelling too.
+        g = jax.grad(jax.checkpoint(loss) if interpret else loss)(w)
 
         # ---- fold to logical / consolidated forms
         kl = fold_stem(g["w_stem"], e, roll)
@@ -486,7 +507,11 @@ def fused_local_train(
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # Without remat (no Mosaic lowering) the AD residuals put the
+            # f32 working set at ~58 MB — over the 16 MB default scoped-
+            # vmem limit but comfortably inside v5e's 128 MB VMEM.
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(blocks, onehot, e_sel, fc1_keep, *[pk[k] for k in _W_KEYS])
 

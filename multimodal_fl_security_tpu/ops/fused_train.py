@@ -315,6 +315,25 @@ def _valid_mask(shape, lanes_per_jr, limit=14):
     return ((i < limit) & (j < limit)).astype(jnp.float32)
 
 
+def _fmax(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise max computed in f32 when operands are sub-32-bit:
+    Mosaic on v5e has no bf16 vector compare ("Target does not support
+    this comparison", measured on-chip 2026-08-20; the compare comes
+    from both max itself and its VJP's eq-routing). Upcast-max-downcast
+    is bit-exact for bf16 operands (bf16 is a subset of f32)."""
+    if a.dtype.itemsize != 4:
+        return jnp.maximum(a.astype(jnp.float32),
+                           b.astype(jnp.float32)).astype(a.dtype)
+    return jnp.maximum(a, b)
+
+
+def _frelu(x: jnp.ndarray) -> jnp.ndarray:
+    """relu via f32 compare (see _fmax); bit-exact for bf16."""
+    if x.dtype.itemsize != 4:
+        return jax.nn.relu(x.astype(jnp.float32)).astype(x.dtype)
+    return jax.nn.relu(x)
+
+
 def _dot3d(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """[B, R, K] x [K, F] -> [B, R, F] (kernel overrides with a
     custom_vjp that steers AD to Mosaic-probed contraction forms)."""
@@ -340,14 +359,25 @@ def forward_impl(pk: Dict[str, jnp.ndarray], xblk: jnp.ndarray,
     x = xblk.astype(cd)
 
     # ---- stem: 4 taps x 4 pool groups, block-diag GEMMs, max, relu
+    # Per-tap K=128 dots against static 128-row slices of w_stem[g],
+    # summed — algebraically the lane-concat [B,60,512] x [512,128] form,
+    # but without the concat: Mosaic cannot concatenate a sublane-rolled
+    # operand (a10 carries a {4,0} vpad offset; measured on-chip
+    # 2026-08-19 "result/input offset mismatch on non-concat dimension").
     a00 = x
     a01 = _shift_bj_plus(x, 32, roll)
     a10 = _shift_bi(x, 1, roll)
     a11 = _shift_bj_plus(a10, 32, roll)
-    acat = jnp.concatenate([a00, a01, a10, a11], axis=-1)   # [B,60,512]
-    zs = [dot3d(acat, pk["w_stem"][g].astype(cd)) for g in range(4)]
-    z = jnp.maximum(jnp.maximum(zs[0], zs[1]), jnp.maximum(zs[2], zs[3]))
-    h1 = jax.nn.relu(z + pk["b_stem"].astype(cd))
+    taps = (a00, a01, a10, a11)
+    zs = []
+    for g in range(4):
+        wg = pk["w_stem"][g].astype(cd)
+        acc = dot3d(taps[0], wg[0:128])
+        for t in range(1, 4):
+            acc = acc + dot3d(taps[t], wg[t * 128:(t + 1) * 128])
+        zs.append(acc)
+    z = _fmax(_fmax(zs[0], zs[1]), _fmax(zs[2], zs[3]))
+    h1 = _frelu(z + pk["b_stem"].astype(cd))
     h1 = h1 * _valid_mask(h1.shape, 32).astype(cd)          # [B,60,128]
 
     # ---- conv2: 9 taps, accumulate block-diag GEMMs, relu
@@ -362,13 +392,14 @@ def forward_impl(pk: Dict[str, jnp.ndarray], xblk: jnp.ndarray,
         elif dj == -1:
             a = _shift_bj_minus(a, 32, roll)
         z2 = z2 + dot3d(a, pk["w_cv2"][t].astype(cd))
-    h2 = jax.nn.relu(z2 + pk["b_cv2"].astype(cd))
+    h2 = _frelu(z2 + pk["b_cv2"].astype(cd))
     h2 = h2 * _valid_mask(h2.shape, 64).astype(cd)          # [B,60,256]
 
     # ---- 2x2 max pool: rows by sublane reshape, lanes by roll+max
-    pr = h2[..., :56, :].reshape(h2.shape[:-2] + (7, 2, 4, 256)).max(-3)
+    r2 = h2[..., :56, :].reshape(h2.shape[:-2] + (7, 2, 4, 256))
+    pr = _fmax(r2[..., 0, :, :], r2[..., 1, :, :])
     pr = pr.reshape(h2.shape[:-2] + (28, 256))
-    jm = jnp.maximum(pr, roll(pr, -64, -1))
+    jm = _fmax(pr, roll(pr, -64, -1))
     h3 = jnp.concatenate([jm[..., 0:64], jm[..., 128:192]], axis=-1)
     if dropout_masks is not None:
         h3 = h3 * dropout_masks[0].astype(cd)               # [B,28,128]
@@ -376,7 +407,7 @@ def forward_impl(pk: Dict[str, jnp.ndarray], xblk: jnp.ndarray,
     # ---- fc1 as a batched dot over row positions, then reduce
     t3 = jnp.swapaxes(h3, -3, -2)                           # [28,B,128]
     part = bdot(t3, pk["w_fc1"].astype(cd))
-    h4 = jax.nn.relu(part.sum(-3) + pk["b_fc1"].astype(cd))  # [B,128]
+    h4 = _frelu(part.sum(-3) + pk["b_fc1"].astype(cd))       # [B,128]
     if dropout_masks is not None:
         h4 = h4 * dropout_masks[1].astype(cd)
 
@@ -485,8 +516,12 @@ def packed_ce(logits: jnp.ndarray, onehot: jnp.ndarray,
     lanes = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     zm = jnp.where(lanes < NCLS, logits.astype(jnp.float32), -1e30)
     logp = zm - jax.scipy.special.logsumexp(zm, axis=1, keepdims=True)
-    nll = -jnp.sum(onehot * logp, axis=1)
-    return jnp.sum(nll * bmask) / jnp.maximum(jnp.sum(bmask), 1.0)
+    # keepdims end-to-end: 1-D [B] intermediates hit a Mosaic relayout
+    # wall ("Non-singleton logical dimension is replicated ...",
+    # measured on-chip 2026-08-19) — 2-D [B,1] shapes lower cleanly.
+    nll = -jnp.sum(onehot * logp, axis=1, keepdims=True)    # [B,1]
+    bm = bmask.reshape(bmask.shape[0], -1)[:, :1]
+    return jnp.sum(nll * bm) / jnp.maximum(jnp.sum(bm), 1.0)
 
 
 def mirror_local_train(params: Dict[str, Any], xblk: jnp.ndarray,

@@ -167,3 +167,39 @@ def test_on_device_augmentation():
                                      num_rounds=3, learning_rate=0.05,
                                      augment="crop", dataset_params={}))
     assert res.final_accuracy > 0.4, res.round_accuracies
+
+
+def test_random_resized_crop_and_erase():
+    """rrc/erase augmentations: shape/dtype preserving, key-dependent,
+    jit-safe; erase zeroes at most the configured fraction."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_fl_security_tpu.data.preprocess import (
+        make_augment_fn,
+        random_erase,
+        random_resized_crop,
+    )
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32)
+
+    out = jax.jit(random_resized_crop)(jax.random.PRNGKey(0), imgs)
+    assert out.shape == imgs.shape and out.dtype == imgs.dtype
+    assert not np.allclose(np.asarray(out), np.asarray(imgs))
+    # identity when the crop is pinned to the full image
+    ident = random_resized_crop(jax.random.PRNGKey(0), imgs,
+                                min_scale=1.0, max_scale=1.0)
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(imgs),
+                               atol=1e-5)
+
+    er = jax.jit(lambda k, x: random_erase(k, x, frac=0.25, p=1.0))(
+        jax.random.PRNGKey(3), imgs)
+    assert er.shape == imgs.shape
+    zeroed = np.asarray(er == 0).mean()
+    assert 0.0 < zeroed <= 0.25 * 0.25 + 1e-6
+
+    for mode in ("rrc_flip", "rrc_flip_erase"):
+        fn = make_augment_fn(mode)
+        b = fn(jax.random.PRNGKey(1), {"image": imgs})
+        assert b["image"].shape == imgs.shape

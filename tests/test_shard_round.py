@@ -253,3 +253,68 @@ def test_statistics_attack_matches_engine(setup):
         np.asarray(flatten_tree(new_sharded)),
         np.asarray(flatten_tree(new_engine)), rtol=2e-4, atol=2e-5,
     )
+
+
+@pytest.mark.slow
+def test_realistic_scale_mesh_matches_engine():
+    """VERDICT r3 #7: realistic shapes on the 8-virtual-device mesh —
+    C=128 clients, Dirichlet(0.3)-ragged shards, 32-client subsampling
+    per round, and a STATEFUL per-client defense (FoolsGold) — must
+    track the single-device engine exactly across 3 rounds (state
+    threading included)."""
+    train = load_dataset("synthetic", "train", num_train=4096,
+                         image_shape=(16, 16, 1))
+    idx = partition_data(train.labels, 128, "dirichlet", alpha=0.3, seed=42)
+    sizes = sorted(len(v) for v in idx)
+    assert sizes[0] < sizes[-1], "dirichlet shards should be ragged"
+    cd = stack_clients(train, idx, pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    params = init_model(model, {k: v[0, :16] for k, v in cd.arrays.items()},
+                        seed=0)["params"]
+    spec = TrainSpec(learning_rate=0.05, local_epochs=1, batch_size=16)
+
+    def run(mesh):
+        engine = RoundEngine(
+            model, cd, spec, defense=get_defense("foolsgold", {}),
+            clients_per_round=32, mesh=mesh)
+        p = params
+        losses = []
+        for r in range(3):
+            p, metrics = engine.run_round(p, jax.random.PRNGKey(100 + r))
+            losses.append(float(metrics["client_loss_mean"]))
+        return p, losses
+
+    p_mesh, loss_mesh = run(make_mesh(8))
+    p_one, loss_one = run(None)
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(p_mesh)), np.asarray(flatten_tree(p_one)),
+        rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(loss_mesh, loss_one, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_realistic_scale_two_level_mesh():
+    """Same realistic workload over a 2x4 (dcn x clients) two-level mesh:
+    RoundEngine's sharding spans both axes and must match the flat mesh."""
+    train = load_dataset("synthetic", "train", num_train=2048,
+                         image_shape=(16, 16, 1))
+    idx = partition_data(train.labels, 64, "dirichlet", alpha=0.3, seed=7)
+    cd = stack_clients(train, idx, pad_multiple=16)
+    model = create_model("simple_cnn", num_classes=10)
+    params = init_model(model, {k: v[0, :16] for k, v in cd.arrays.items()},
+                        seed=0)["params"]
+    spec = TrainSpec(learning_rate=0.05, local_epochs=1, batch_size=16)
+
+    def run(mesh):
+        engine = RoundEngine(model, cd, spec,
+                             defense=get_defense("krum",
+                                                 {"num_malicious": 6}),
+                             clients_per_round=16, mesh=mesh)
+        p, _ = engine.run_round(params, jax.random.PRNGKey(11))
+        return p
+
+    p2 = run(make_mesh(8, axis_names=("dcn", "clients"), shape=(2, 4)))
+    p1 = run(make_mesh(8))
+    np.testing.assert_allclose(
+        np.asarray(flatten_tree(p2)), np.asarray(flatten_tree(p1)),
+        rtol=2e-4, atol=2e-5)
