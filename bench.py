@@ -24,6 +24,13 @@ import json
 import math
 import time
 
+# The north-star workload constants, shared by build_engine and the MFU
+# computation in main() so the two can never silently drift apart.
+NUM_CLIENTS = 100
+SAMPLES_PER_CLIENT = 600
+BATCH_SIZE = 32
+LOCAL_EPOCHS = 2
+
 
 def build_engine(layout: str = None):
     """Build (engine, params) for the north-star workload.
@@ -52,10 +59,10 @@ def build_engine(layout: str = None):
     from multimodal_fl_security_tpu.models import create_model, init_model
     from multimodal_fl_security_tpu.rounds.engine import RoundEngine, TrainSpec
 
-    num_clients = 100
-    samples_per_client = 600
-    batch_size = 32
-    local_epochs = 2
+    num_clients = NUM_CLIENTS
+    samples_per_client = SAMPLES_PER_CLIENT
+    batch_size = BATCH_SIZE
+    local_epochs = LOCAL_EPOCHS
 
     # The same synthetic MNIST-shaped task as data/datasets.py's
     # ``synthetic`` family (class-prototype images + 0.35 noise), built ON
@@ -157,8 +164,9 @@ def build_engine(layout: str = None):
     return engine, params
 
 
-def logical_flops_per_round(num_clients: int = 100, samples: int = 600,
-                            local_epochs: int = 2) -> float:
+def logical_flops_per_round(num_clients: int = NUM_CLIENTS,
+                            samples: int = SAMPLES_PER_CLIENT,
+                            local_epochs: int = LOCAL_EPOCHS) -> float:
     """Analytic FLOPs per round of the LOGICAL north-star workload
     (VERDICT r3 #3): per-sample fwd FLOPs of SimpleCNN at 28x28x1
     (convs 2*K*K*Cin*Cout*H*W, dense 2*in*out), bwd ~ 2x fwd, plus the
@@ -203,7 +211,9 @@ def main() -> None:
 
     rounds_per_min = n_rounds / dt * 60.0
     baseline_rounds_per_min = 2.0  # reference: ~30 s/round (BASELINE.md)
-    mfu = logical_flops_per_round() * (n_rounds / dt) / PEAK_FLOPS
+    mfu = (logical_flops_per_round(NUM_CLIENTS, SAMPLES_PER_CLIENT,
+                                   LOCAL_EPOCHS)
+           * (n_rounds / dt) / PEAK_FLOPS)
     print(
         json.dumps(
             {

@@ -28,7 +28,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +111,15 @@ def _logical_flops_per_sample() -> float:
     return 3.0 * fwd                           # fwd + ~2x fwd for bwd
 
 
+def _sync(tree) -> float:
+    """Force completion via a VALUE FETCH: on the axon remote-TPU
+    attachment block_until_ready can return early (ROADMAP #9), so every
+    timing boundary here syncs by pulling one element to the host —
+    exactly what bench.py does with float(metrics[...])."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(np.asarray(jax.device_get(leaf.ravel()[0])))
+
+
 def run_bench(num_clients: int = 100, samples: int = 600,
               local_epochs: int = 2, iters: int = 5) -> dict:
     n_pad = ((samples + ft.B - 1) // ft.B) * ft.B
@@ -118,18 +131,20 @@ def run_bench(num_clients: int = 100, samples: int = 600,
         local_epochs=local_epochs, compute_dtype=jnp.bfloat16))
 
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(params, xp, labels, mask))
+    _sync(fn(params, xp, labels, mask))
     compile_s = time.perf_counter() - t0
-    del out
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(params, xp, labels, mask)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
 
     total_steps = num_clients * local_epochs * (n_pad // ft.B)
-    flops = _logical_flops_per_sample() * num_clients * local_epochs * n_pad
+    # LOGICAL FLOPs count the 600 real samples only (same definition as
+    # bench.py::logical_flops_per_round): the 8 padded rows per client are
+    # overhead, not useful work.
+    flops = _logical_flops_per_sample() * num_clients * local_epochs * samples
     # v5e peak: 197 TFLOP/s bf16 (public spec). MFU on logical FLOPs.
     peak = 197e12
     mfu = flops / dt / peak

@@ -29,10 +29,13 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from typing import Dict, List
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
@@ -302,9 +305,16 @@ def emit_table():
     for key in sorted(orc):
         fa, oa = _m([x[0] for x in fw[key]]), _m([x[0] for x in orc[key]])
         fs, os_ = _m([x[1] for x in fw[key]]), _m([x[1] for x in orc[key]])
-        worst = max(worst, abs(oa - fa))
+        # A cell can exist on the oracle side only (framework artifacts
+        # absent or partial in artifacts/digits_quick) — render '-' rather
+        # than crash after the oracle runs are already done.
+        if fa is not None and oa is not None:
+            worst = max(worst, abs(oa - fa))
         lines.append(
-            f"| {key[0]} | {key[1]} | {fa:.4f} | {oa:.4f} | {oa-fa:+.4f} | "
+            f"| {key[0]} | {key[1]} | "
+            f"{'-' if fa is None else f'{fa:.4f}'} | "
+            f"{'-' if oa is None else f'{oa:.4f}'} | "
+            f"{'-' if fa is None or oa is None else f'{oa-fa:+.4f}'} | "
             f"{'-' if fs is None else f'{fs:.4f}'} | "
             f"{'-' if os_ is None else f'{os_:.4f}'} |")
     lines += ["",

@@ -74,9 +74,17 @@ def random_resized_crop(key: jnp.ndarray, images: jnp.ndarray,
     side = jnp.sqrt(area)                      # crop side fraction
     # output = crop resized to (h, w): zoom factor 1/side >= 1
     zoom = 1.0 / side
-    # crop top-left in [0, 1 - side] of the image, per sample
-    fx = jax.random.uniform(kx, (b,)) * (1.0 - side)
-    fy = jax.random.uniform(ky, (b,)) * (1.0 - side)
+    # Crop top-left in (1 - side) * [0.5/dim, 1 - 0.5/dim]: the output
+    # sample positions u_i = (i + 0.5 - t)/z - 0.5 then stay inside the
+    # input pixel-center grid [0, dim-1]. scale_and_translate zero-pads
+    # out-of-range samples, so the naive [0, 1 - side] origin range let a
+    # border-touching crop mix zeros into the first/last interpolated
+    # row/column (up to ~20% edge attenuation at min_scale=0.35);
+    # torchvision's crop-then-resize never samples outside the crop. The
+    # clamp insets the sampled window by half an INPUT pixel per edge —
+    # same crop statistics, no border artifact.
+    fx = (1.0 - side) * (0.5 + jax.random.uniform(kx, (b,)) * (w - 1.0)) / w
+    fy = (1.0 - side) * (0.5 + jax.random.uniform(ky, (b,)) * (h - 1.0)) / h
 
     def one(img, z, ox, oy):
         scale = jnp.stack([z, z])

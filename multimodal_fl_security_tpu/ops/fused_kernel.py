@@ -319,6 +319,7 @@ def fused_local_train(
     seed: int = 0,
     compute_dtype: Any = jnp.bfloat16,
     interpret: bool = False,
+    remat: bool | None = None,
 ) -> Dict[str, Any]:
     """Run EVERY client's full local training in one pallas_call.
 
@@ -330,7 +331,18 @@ def fused_local_train(
     [C, ...] after ``local_epochs`` passes in resident batch order.
 
     ``interpret=True`` runs the same kernel through the Pallas
-    interpreter with jnp rolls (CPU-testable; no dropout)."""
+    interpreter with jnp rolls (CPU-testable; no dropout).
+
+    ``remat`` selects the AD spelling inside the kernel body: True wraps
+    the loss in ``jax.checkpoint`` (cheap-memory; no Mosaic lowering —
+    "Unimplemented primitive ... remat2", measured on-chip 2026-08-19),
+    False keeps the residuals (the SHIPPED compiled spelling). Default
+    None = remat iff interpret, preserving both historical behaviors;
+    tests/test_fused_kernel.py exercises BOTH spellings in interpret
+    mode so a graph-level regression in the shipped one is caught on
+    CPU, and ``benchmarks/fused_kernel_bench.py --check`` remains the
+    required on-chip gate for any kernel change (Mosaic lowering is not
+    exercised by the interpreter)."""
     num_clients, n = blocks.shape[0], blocks.shape[1]
     assert n % B == 0, "pad N to a batch-size multiple"
     steps = n // B
@@ -414,9 +426,11 @@ def fused_local_train(
 
         # NOTE: jax.checkpoint (remat2) has no Mosaic lowering — measured
         # on-chip 2026-08-19 ("Unimplemented primitive ... remat2"). AD
-        # residuals stay in VMEM instead; interpret mode keeps remat so
-        # the CPU test exercises the cheaper-memory spelling too.
-        g = jax.grad(jax.checkpoint(loss) if interpret else loss)(w)
+        # residuals stay in VMEM on the compiled path; interpret mode
+        # defaults to remat so the CPU test also exercises the
+        # cheaper-memory spelling (override via ``remat=``).
+        use_remat = interpret if remat is None else bool(remat)
+        g = jax.grad(jax.checkpoint(loss) if use_remat else loss)(w)
 
         # ---- fold to logical / consolidated forms
         kl = fold_stem(g["w_stem"], e, roll)

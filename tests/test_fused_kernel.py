@@ -86,6 +86,38 @@ def test_fold_stem_equals_vjp_fold(setup):
     assert float(jnp.max(jnp.abs(kl[:, 32:]))) == 0.0
 
 
+def test_kernel_interpret_nonremat_equals_mirror(setup):
+    """The SHIPPED AD spelling (no jax.checkpoint — what the compiled
+    Mosaic path runs) through the interpreter == mirror_local_train.
+    The default interpret run remats; without this test a graph-level
+    regression in the non-remat spelling would only be caught by the
+    manual on-chip --check (ADVICE r4)."""
+    model, _, params = setup
+    key = jax.random.PRNGKey(13)
+    C, n = 1, 32
+    img = jax.random.normal(key, (C, n, 28, 28, 8))
+    blocks = space_to_depth(img)
+    xp = ft.pack_blocks(blocks)
+    labels = jax.random.randint(jax.random.fold_in(key, 1), (C, n), 0, 10)
+    bmask = jnp.ones((C, n))
+
+    out = fk.fused_local_train(
+        params, xp, labels, bmask,
+        learning_rate=0.05, momentum=0.9, clip_norm=1.0, local_epochs=1,
+        compute_dtype=jnp.float32, interpret=True, remat=False)
+
+    ref = ft.mirror_local_train(
+        params, xp[0], jax.nn.one_hot(labels[0], 128), bmask[0],
+        lr=0.05, momentum=0.9, clip_norm=1.0, local_epochs=1)
+    got = jax.tree_util.tree_map(lambda x: x[0], out)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref),
+            jax.tree_util.tree_leaves_with_path(got)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg=str(ka))
+
+
 def test_kernel_interpret_equals_mirror(setup):
     """The full pallas kernel (interpret mode) == mirror_local_train
     per client — same multi-step SGD trajectory, both clients."""
