@@ -193,6 +193,18 @@ def test_random_resized_crop_and_erase():
     np.testing.assert_allclose(np.asarray(ident), np.asarray(imgs),
                                atol=1e-5)
 
+    # Border-artifact property (ADVICE r4): every interpolation sample
+    # must land inside the input pixel-center grid, so a constant image
+    # comes back EXACTLY constant for any key/scale. Pre-clamp, a
+    # border-touching crop mixed scale_and_translate's zero padding into
+    # the first/last row/column (up to ~20% attenuation at min_scale).
+    ones = jnp.ones((8, 17, 23, 2), jnp.float32)  # odd dims on purpose
+    for seed in range(4):
+        out1 = random_resized_crop(jax.random.PRNGKey(seed), ones,
+                                   min_scale=0.35, max_scale=1.0)
+        np.testing.assert_allclose(np.asarray(out1), 1.0, atol=1e-5,
+                                   err_msg=f"border zero-mix, seed {seed}")
+
     er = jax.jit(lambda k, x: random_erase(k, x, frac=0.25, p=1.0))(
         jax.random.PRNGKey(3), imgs)
     assert er.shape == imgs.shape
