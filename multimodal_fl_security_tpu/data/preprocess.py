@@ -62,8 +62,8 @@ def random_resized_crop(key: jnp.ndarray, images: jnp.ndarray,
                         max_scale: float = 1.0) -> jnp.ndarray:
     """Per-sample random zoom-crop resized back to the input shape — the
     device-side equivalent of torchvision RandomResizedCrop (reference:
-    src/utils/cub200_loader.py:199 uses RandomResizedCrop(224, scale=
-    (0.08, 1.0))). Crop AREA is sampled in [min_scale, max_scale] of the
+    src/utils/cub200_loader.py:195 uses RandomResizedCrop(224, scale=
+    (0.7, 1.0))). Crop AREA is sampled in [min_scale, max_scale] of the
     image; position uniform within bounds. jit-safe: output shape is
     static, the per-sample crop geometry rides through
     jax.image.scale_and_translate's dynamic scale/translation arguments.
@@ -115,11 +115,102 @@ def random_erase(key: jnp.ndarray, images: jnp.ndarray,
     return images * mask[..., None].astype(images.dtype)
 
 
+_GRAY_WEIGHTS = (0.2989, 0.587, 0.114)  # torchvision rgb_to_grayscale
+
+
+def color_jitter(key: jnp.ndarray, images: jnp.ndarray,
+                 brightness: float = 0.2, contrast: float = 0.2,
+                 saturation: float = 0.2,
+                 mean=None, std=None) -> jnp.ndarray:
+    """Per-sample brightness/contrast/saturation jitter — the device-side
+    equivalent of the reference's ColorJitter(0.2, 0.2, 0.2) on CUB train
+    images (reference: src/utils/cub200_loader.py:198). Each factor is
+    sampled U[1-v, 1+v] per image; ops apply in fixed brightness ->
+    contrast -> saturation order (torchvision randomizes the order — a
+    documented, statistically negligible divergence at these strengths)
+    and clamp to [0, 1] in raw space like torchvision's _blend.
+
+    ``mean``/``std``: if given, ``images`` are normalized; the jitter runs
+    in raw [0, 1] space between an unnormalize/renormalize pair (all
+    elementwise, fused by XLA).
+    """
+    b = images.shape[0]
+    dtype = images.dtype
+    x = images.astype(jnp.float32)
+    if mean is not None:
+        mean = jnp.asarray(mean, jnp.float32)
+        std = jnp.asarray(std, jnp.float32)
+        x = x * std + mean
+    kb, kc, ks = jax.random.split(key, 3)
+    shape = (b, 1, 1, 1)
+    fb = jax.random.uniform(kb, shape, minval=1 - brightness,
+                            maxval=1 + brightness)
+    fc = jax.random.uniform(kc, shape, minval=1 - contrast,
+                            maxval=1 + contrast)
+    fs = jax.random.uniform(ks, shape, minval=1 - saturation,
+                            maxval=1 + saturation)
+    x = jnp.clip(x * fb, 0.0, 1.0)
+    gray = (x * jnp.asarray(_GRAY_WEIGHTS, jnp.float32)).sum(-1,
+                                                             keepdims=True)
+    gmean = gray.mean(axis=(1, 2), keepdims=True)
+    x = jnp.clip(fc * x + (1 - fc) * gmean, 0.0, 1.0)
+    x = jnp.clip(fs * x + (1 - fs) * gray, 0.0, 1.0)
+    if mean is not None:
+        x = (x - mean) / std
+    return x.astype(dtype)
+
+
+def random_rotate(key: jnp.ndarray, images: jnp.ndarray,
+                  max_deg: float = 15.0, mean=None, std=None) -> jnp.ndarray:
+    """Per-sample rotation by U[-max_deg, +max_deg] about the image center,
+    bilinear — the device-side equivalent of the reference's
+    RandomRotation(15) (reference: src/utils/cub200_loader.py:197).
+    Out-of-frame corners fill with raw-space black, like torchvision's
+    default fill=0; with ``mean``/``std`` given (normalized inputs) the
+    fill value is (0 - mean)/std per channel. jit-safe: static output
+    shape, per-sample angles ride through map_coordinates' dynamic
+    sample grid.
+    """
+    b, h, w, c = images.shape
+    dtype = images.dtype
+    theta = jax.random.uniform(key, (b,), minval=-max_deg, maxval=max_deg)
+    theta = theta * (jnp.pi / 180.0)
+    if mean is not None:
+        fill = (0.0 - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
+            std, jnp.float32)
+    else:
+        fill = jnp.zeros((c,), jnp.float32)
+    # Rotate (x - fill) with cval=0, then add fill back: inside the frame
+    # this is the identity correction; outside it yields exactly `fill`.
+    x = images.astype(jnp.float32) - fill
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    ys = ys.astype(jnp.float32) - cy
+    xs = xs.astype(jnp.float32) - cx
+
+    def one(img, t):
+        cos, sin = jnp.cos(t), jnp.sin(t)
+        sy = cos * ys - sin * xs + cy  # inverse map: dest -> source
+        sx = sin * ys + cos * xs + cx
+        return jnp.stack(
+            [jax.scipy.ndimage.map_coordinates(
+                img[..., k], [sy, sx], order=1, mode="constant", cval=0.0)
+             for k in range(c)], axis=-1)
+
+    out = jax.vmap(one)(x, theta) + fill
+    return out.astype(dtype)
+
+
 def make_augment_fn(mode: str):
     """Batch augmentation for the training step: (key, batch) -> batch.
 
     Modes: "flip", "crop", "crop_flip" (flip + small shift), "rrc_flip"
-    (random-resized-crop + flip), "rrc_flip_erase" (+ cutout). Pure and
+    (random-resized-crop + flip), "rrc_flip_erase" (+ cutout), "ref_cub"
+    (the reference's FULL CUB train transform on device:
+    RandomResizedCrop(scale 0.7-1.0) -> flip -> RandomRotation(15) ->
+    ColorJitter(0.2) in the reference's own order,
+    src/utils/cub200_loader.py:193-199; assumes ImageNet-normalized
+    inputs, which is how data/cub200.py stores residents). Pure and
     jit/vmap-safe; applied on device inside the local-training scan (the
     reference ran torchvision augmentation on the host,
     cub200_loader.py:192-216).
@@ -127,6 +218,25 @@ def make_augment_fn(mode: str):
     mode = (mode or "none").lower()
     if mode in ("none", ""):
         return None
+
+    if mode == "ref_cub":
+        from multimodal_fl_security_tpu.data.datasets import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+        m = np.asarray(IMAGENET_MEAN, np.float32).reshape(-1)
+        s = np.asarray(IMAGENET_STD, np.float32).reshape(-1)
+
+        def fn(key, batch):
+            images = batch["image"]
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            images = random_resized_crop(k1, images, min_scale=0.7)
+            images = random_flip(k2, images)
+            images = random_rotate(k3, images, max_deg=15.0, mean=m, std=s)
+            images = color_jitter(k4, images, mean=m, std=s)
+            return dict(batch, image=images)
+
+        return fn
 
     def fn(key, batch):
         images = batch["image"]

@@ -51,7 +51,9 @@ class ExperimentConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0
     clip_norm: float = 1.0  # reference clips grads at 1.0 (run_experiments.py:231)
-    augment: str = "none"  # on-device train-time augmentation (flip/crop)
+    # On-device train-time augmentation: flip / crop / crop_flip /
+    # rrc_flip / rrc_flip_erase / ref_cub (data/preprocess.py)
+    augment: str = "none"
     # Per-round lr scale: "constant" (the reference's only mode) or
     # "cosine" (linear warmup over warmup_rounds, cosine decay to 0 at
     # num_rounds). Beyond-reference knob for long from-scratch runs.

@@ -215,3 +215,76 @@ def test_random_resized_crop_and_erase():
         fn = make_augment_fn(mode)
         b = fn(jax.random.PRNGKey(1), {"image": imgs})
         assert b["image"].shape == imgs.shape
+
+
+def test_color_jitter_and_rotate():
+    """Device-side ColorJitter / RandomRotation equivalents (reference:
+    src/utils/cub200_loader.py:197-198) and the ref_cub composite mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_fl_security_tpu.data.datasets import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from multimodal_fl_security_tpu.data.preprocess import (
+        color_jitter,
+        make_augment_fn,
+        random_rotate,
+    )
+
+    rng = np.random.RandomState(1)
+    raw = jnp.asarray(rng.rand(4, 24, 24, 3), jnp.float32)
+    m = np.asarray(IMAGENET_MEAN, np.float32).reshape(-1)
+    s = np.asarray(IMAGENET_STD, np.float32).reshape(-1)
+
+    # zero-strength jitter is the identity (raw and normalized space)
+    ident = color_jitter(jax.random.PRNGKey(0), raw, 0.0, 0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(raw), atol=1e-6)
+    norm = (raw - m) / s
+    ident_n = color_jitter(jax.random.PRNGKey(0), norm, 0.0, 0.0, 0.0,
+                           mean=m, std=s)
+    np.testing.assert_allclose(np.asarray(ident_n), np.asarray(norm),
+                               atol=1e-5)
+
+    # jittered raw output stays in [0, 1] (torchvision _blend clamps)
+    out = jax.jit(color_jitter)(jax.random.PRNGKey(2), raw)
+    o = np.asarray(out)
+    assert o.min() >= -1e-6 and o.max() <= 1 + 1e-6
+    assert not np.allclose(o, np.asarray(raw))
+
+    # saturation keeps a gray image gray (R=G=B is a fixed point of the
+    # gray-blend); brightness/contrast off to isolate it
+    gray = jnp.broadcast_to(raw[..., :1], raw.shape)
+    gout = np.asarray(color_jitter(jax.random.PRNGKey(3), gray,
+                                   0.0, 0.0, 0.9))
+    np.testing.assert_allclose(gout[..., 0], gout[..., 1], atol=1e-5)
+    np.testing.assert_allclose(gout[..., 1], gout[..., 2], atol=1e-5)
+
+    # max_deg=0 rotation is exact (integer-coordinate bilinear samples)
+    r0 = random_rotate(jax.random.PRNGKey(4), raw, max_deg=0.0)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(raw), atol=1e-6)
+
+    # raw-black normalized images are exactly the fill value, so any
+    # rotation returns them unchanged (fill correctness at the corners)
+    black = jnp.broadcast_to(jnp.asarray((0.0 - m) / s, jnp.float32),
+                             (2, 16, 16, 3))
+    rb = random_rotate(jax.random.PRNGKey(5), black, max_deg=15.0,
+                       mean=m, std=s)
+    np.testing.assert_allclose(np.asarray(rb), np.asarray(black), atol=1e-5)
+
+    # a real rotation moves pixels, preserves shape/dtype, and keeps the
+    # center pixel (rotation fixed point) for every sample
+    big = jnp.asarray(rng.rand(3, 25, 25, 3), jnp.float32)
+    rr = jax.jit(lambda k, x: random_rotate(k, x, max_deg=15.0))(
+        jax.random.PRNGKey(6), big)
+    assert rr.shape == big.shape and rr.dtype == big.dtype
+    assert not np.allclose(np.asarray(rr), np.asarray(big))
+    np.testing.assert_allclose(np.asarray(rr)[:, 12, 12, :],
+                               np.asarray(big)[:, 12, 12, :], atol=1e-4)
+
+    # composite reference-recipe mode is jit-safe and shape-preserving
+    fn = make_augment_fn("ref_cub")
+    b = jax.jit(fn)(jax.random.PRNGKey(7), {"image": norm})
+    assert b["image"].shape == norm.shape
+    assert np.isfinite(np.asarray(b["image"])).all()
