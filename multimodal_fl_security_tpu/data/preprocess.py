@@ -164,7 +164,9 @@ def random_rotate(key: jnp.ndarray, images: jnp.ndarray,
                   max_deg: float = 15.0, mean=None, std=None) -> jnp.ndarray:
     """Per-sample rotation by U[-max_deg, +max_deg] about the image center,
     bilinear — the device-side equivalent of the reference's
-    RandomRotation(15) (reference: src/utils/cub200_loader.py:197).
+    RandomRotation(15) (reference: src/utils/cub200_loader.py:197; its
+    torchvision default resamples NEAREST — bilinear is a deliberate
+    quality upgrade, documented divergence).
     Out-of-frame corners fill with raw-space black, like torchvision's
     default fill=0; with ``mean``/``std`` given (normalized inputs) the
     fill value is (0 - mean)/std per channel. jit-safe: static output
