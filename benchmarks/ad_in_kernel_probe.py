@@ -22,9 +22,13 @@ Run: python benchmarks/ad_in_kernel_probe.py   (needs the TPU).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import json
-import os
 import traceback
 
 import jax

@@ -24,6 +24,11 @@ Run on TPU:  python benchmarks/block_group_bench.py
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 

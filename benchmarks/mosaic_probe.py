@@ -16,6 +16,11 @@ prints PASS/FAIL-with-error so a wall is attributable to one op.)
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 import traceback
 

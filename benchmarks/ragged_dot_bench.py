@@ -18,6 +18,11 @@ Prints a JSON dict of ms for each formulation, fwd and fwd+bwd.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import time
 
