@@ -59,6 +59,10 @@ class ExperimentConfig:
     # num_rounds). Beyond-reference knob for long from-scratch runs.
     lr_schedule: str = "constant"
     warmup_rounds: int = 0
+    # Cosine floor as a fraction of the base lr (0 = decay to zero; both
+    # long CUB runs peaked ~70% through the horizon and drifted down as
+    # lr -> 0 — see rounds/engine.py::make_lr_schedule).
+    min_lr_frac: float = 0.0
     # Label smoothing on the local CE loss (0 = reference's plain CE).
     label_smoothing: float = 0.0
     # FedProx proximal coefficient on local training (0 = plain FedAvg,

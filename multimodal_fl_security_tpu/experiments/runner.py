@@ -194,6 +194,7 @@ class ExperimentRunner:
             lr_schedule=config.lr_schedule,
             warmup_rounds=config.warmup_rounds,
             schedule_rounds=config.num_rounds,
+            min_lr_frac=config.min_lr_frac,
         )
         from multimodal_fl_security_tpu.rounds.server_opt import (
             make_server_optimizer,

@@ -77,25 +77,31 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 def make_lr_schedule(kind: str = "constant", total_rounds: int = 0,
-                     warmup_rounds: int = 0):
+                     warmup_rounds: int = 0, min_lr_frac: float = 0.0):
     """Per-ROUND learning-rate scale (multiplies the base lr).
 
     Returns None for "constant" (no scaling anywhere), or a jnp-traceable
     ``sched(round_idx) -> scale`` for "cosine": linear warmup over
-    ``warmup_rounds`` then a cosine decay to 0 at ``total_rounds``. The
-    reference trains at a constant lr; the schedule is a beyond-reference
-    knob for long from-scratch runs (CUB-200)."""
+    ``warmup_rounds`` then a cosine decay to ``min_lr_frac`` (default 0)
+    at ``total_rounds``. The floor exists because both long CUB runs
+    peaked ~70% through the horizon and then drifted DOWN as lr -> 0
+    (artifacts/cub200/: 160px best@~140/200, 224px best 0.4427@169/240,
+    final 0.4211) — a small floor keeps late rounds learning instead of
+    freezing into the overfit. The reference trains at a constant lr; the
+    schedule is a beyond-reference knob for long from-scratch runs
+    (CUB-200)."""
     if kind in (None, "", "constant"):
         return None
     if kind == "cosine":
         w = float(max(int(warmup_rounds), 0))
         t = float(max(int(total_rounds), 1))
+        f = float(min(max(min_lr_frac, 0.0), 1.0))
 
         def sched(r):
             r = jnp.asarray(r, jnp.float32)
             warm = (r + 1.0) / jnp.maximum(w, 1.0)
             prog = jnp.clip((r - w) / jnp.maximum(t - w, 1.0), 0.0, 1.0)
-            cos = 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
+            cos = f + (1.0 - f) * 0.5 * (1.0 + jnp.cos(jnp.pi * prog))
             return jnp.where(r < w, warm, cos)
 
         return sched
@@ -134,10 +140,13 @@ class TrainSpec:
     #: reference's plain CE).
     label_smoothing: float = 0.0
     #: per-round lr scale: "constant" | "cosine" (linear warmup over
-    #: ``warmup_rounds`` rounds, cosine decay to 0 at ``schedule_rounds``).
+    #: ``warmup_rounds`` rounds, cosine decay to ``min_lr_frac`` at
+    #: ``schedule_rounds``).
     lr_schedule: str = "constant"
     warmup_rounds: int = 0
     schedule_rounds: int = 0
+    #: cosine floor as a fraction of the base lr (0 = decay to zero).
+    min_lr_frac: float = 0.0
 
 
 def make_local_train_fn(model, spec: TrainSpec, n_samples: int,
@@ -350,7 +359,8 @@ class RoundEngine:
         # host-side from its round_idx argument; run_rounds evaluates it
         # inside the scan body.
         self._lr_schedule = make_lr_schedule(
-            spec.lr_schedule, spec.schedule_rounds, spec.warmup_rounds
+            spec.lr_schedule, spec.schedule_rounds, spec.warmup_rounds,
+            spec.min_lr_frac,
         )
 
         self._round_fn = jax.jit(self._build_round_fn())

@@ -6,6 +6,7 @@ small and cached.
 """
 
 import numpy as np
+import pytest
 
 from helpers import tiny_config
 from multimodal_fl_security_tpu.experiments.runner import run_simulation
@@ -179,3 +180,28 @@ def test_distributed_backdoor_end_to_end():
     ))
     assert res.attack_success_rate is not None
     assert 0.0 <= res.attack_success_rate <= 1.0
+
+
+def test_lr_schedule_cosine_floor():
+    """Cosine schedule: warmup, floor at min_lr_frac, exact endpoints."""
+    import numpy as np
+
+    from multimodal_fl_security_tpu.rounds.engine import make_lr_schedule
+
+    sched = make_lr_schedule("cosine", total_rounds=100, warmup_rounds=5,
+                             min_lr_frac=0.05)
+    # warmup ramps linearly to 1.0 at r = warmup
+    assert float(sched(0)) == pytest.approx(0.2)
+    assert float(sched(5)) == pytest.approx(1.0)
+    # mid-decay sits between floor and peak
+    mid = float(sched(52))
+    assert 0.05 < mid < 1.0
+    # the final round holds the floor, not zero
+    assert float(sched(99)) == pytest.approx(0.05, abs=1e-3)
+    assert float(sched(1000)) == pytest.approx(0.05, abs=1e-6)
+    # default floor = 0 preserves the previous decay-to-zero behavior
+    z = make_lr_schedule("cosine", total_rounds=100, warmup_rounds=5)
+    assert float(z(1000)) == pytest.approx(0.0, abs=1e-6)
+    # monotone non-increasing after warmup
+    vals = np.array([float(sched(r)) for r in range(5, 100, 7)])
+    assert np.all(np.diff(vals) <= 1e-6)
