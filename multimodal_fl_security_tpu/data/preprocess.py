@@ -190,7 +190,8 @@ def random_rotate(key: jnp.ndarray, images: jnp.ndarray,
     ys = ys.astype(jnp.float32) - cy
     xs = xs.astype(jnp.float32) - cx
 
-    def one(img, t):
+    def one(args):
+        img, t = args
         cos, sin = jnp.cos(t), jnp.sin(t)
         sy = cos * ys - sin * xs + cy  # inverse map: dest -> source
         sx = sin * ys + cos * xs + cx
@@ -199,7 +200,12 @@ def random_rotate(key: jnp.ndarray, images: jnp.ndarray,
                 img[..., k], [sy, sx], order=1, mode="constant", cval=0.0)
              for k in range(c)], axis=-1)
 
-    out = jax.vmap(one)(x, theta) + fill
+    # lax.map, not vmap: the bilinear gather's corner/weight intermediates
+    # are ~8 x [H, W] f32 per channel; batch-vectorized at 224px inside the
+    # training scan they peak at GBs and OOM'd a ResNet-18 CUB run on a
+    # 16 GB chip. Serializing per sample cuts peak memory by the batch
+    # factor; the augment is a rounding error next to the conv step time.
+    out = jax.lax.map(one, (x, theta)) + fill
     return out.astype(dtype)
 
 
